@@ -1,0 +1,122 @@
+"""Typed configuration — one source of truth for every entry point.
+
+Replaces the reference's three inconsistent argparse blocks
+(train_2ddense.py:21-34, train_hybrid.py:23-36, test.py:20-36) plus its
+hardcoded module globals (denseunet.py:29-40, callbacks.py:28). Notably it does
+NOT replicate the `args.b / 10` GPU-count trap (train_2ddense.py:180, vs
+bash_train.sh passing -b 4): device count comes from the mesh, and the global
+batch is validated against it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    data_dir: str = "data"
+    num_train_volumes: int = 131  # LiTS training set
+    num_test_volumes: int = 70  # LiTS test set
+    mean: float = 48.0  # intensity mean subtracted (train_2ddense.py:32)
+    hu_window: Tuple[float, float] = (-200.0, 250.0)  # preprocessing.py:15-16
+    # volumes with liver but no tumor; always sample liver-guided crops for them
+    # (train_2ddense.py:39)
+    tumor_free_volumes: Tuple[int, ...] = (
+        32, 34, 38, 41, 47, 87, 89, 91, 105, 106, 114, 115, 119,
+    )
+    box_dilation: int = 3  # liver bounding-box dilation (train_2ddense.py:151-156)
+    scale_range: Tuple[float, float] = (0.8, 1.2)  # random crop scale (:48)
+    liver_sample_prob: float = 0.5  # P(liver-guided) vs tumor-guided (:111-112)
+    crop_threads: int = 8  # reference uses 14 (:33); host-dependent
+    prefetch_depth: int = 4  # device prefetch buffer (replaces GeneratorEnqueuer)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    input_size: int = 224  # H = W of training crops
+    input_cols: int = 8  # z-depth of hybrid sub-volumes (3 for 2D slabs)
+    num_classes: int = 3  # bg / liver / tumor
+    reduction: float = 0.5
+    compute_dtype: str = "float32"  # 'bfloat16' for the fast path
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    arch: str = "2d"  # '2d' | '3dpart' | 'end2end'
+    batch: int = 8  # GLOBAL batch (sharded over the mesh 'data' axis)
+    lr: float = 1e-3
+    momentum: float = 0.9
+    nesterov: bool = True
+    epochs: int = 6000
+    samples_per_epoch: int = 27386  # train_2ddense.py:206
+    steps_per_epoch: Optional[int] = None  # derived if None
+    loss_weights: Tuple[float, float, float] = (0.78, 0.65, 8.57)  # loss.py:23
+    mask_boundary_slices: bool = True  # hybrid loss drops z 0 and D-1 (loss.py:6-7)
+    save_path: str = "Experiments"
+    checkpoint_every_steps: int = 1000
+    seed: int = 0
+    remat: bool = True  # jax.checkpoint on dense blocks to fit HBM
+    log_every_steps: int = 20
+
+    def resolved_steps_per_epoch(self) -> int:
+        if self.steps_per_epoch is not None:
+            return self.steps_per_epoch
+        divisor = self.batch * (6 if self.arch != "2d" else 1)
+        return max(1, self.samples_per_epoch // divisor)
+
+
+@dataclasses.dataclass
+class InferConfig:
+    input_size: int = 512
+    input_cols: int = 8
+    window_stride: int = 2  # input_cols // 4 (lib/funcs.py:12)
+    window_batch: int = 4  # windows evaluated per device step (reference: 1)
+    thres_liver: float = 0.5  # test.py:34
+    thres_tumor: float = 0.9  # test.py:35
+    mean: float = 48.0
+    liver_margin_lo: int = 5  # z-range margins around the liver mask (funcs.py:19-20)
+    liver_margin_hi: int = 10
+    save_path: str = "results"
+
+
+@dataclasses.dataclass
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    infer: InferConfig = dataclasses.field(default_factory=InferConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+
+        def build(tp, d):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kwargs = {}
+            for k, v in d.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return tp(**kwargs)
+
+        return cls(
+            data=build(DataConfig, raw.get("data", {})),
+            model=build(ModelConfig, raw.get("model", {})),
+            train=build(TrainConfig, raw.get("train", {})),
+            infer=build(InferConfig, raw.get("infer", {})),
+        )
+
+    @classmethod
+    def load(cls, path) -> "Config":
+        return cls.from_json(Path(path).read_text())
+
+    def save(self, path) -> None:
+        Path(path).write_text(self.to_json())

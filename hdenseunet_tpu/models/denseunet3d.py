@@ -1,0 +1,130 @@
+"""3D DenseUNet branch: 3D DenseNet encoder + z-preserving decoder.
+
+Re-implements the reference's DenseNet3D (denseunet3d.py:105-190, near-identical
+copy at hybridnet.py:11-178): growth 32, blocks (3,4,12,8), 7x7x7 stride-2 stem,
+transitions with AveragePooling3D (2,2,1) preserving z, decoder with three
+(2,2,1) and two (2,2,2) nearest upsamples, returning both the 64-channel
+feature map 'ac_up4' and 3-channel logits '3dclassifer'.
+
+Input is (B, H, W, D, C) to match the reference's data layout (z last); the
+compute layout handed to XLA is channels-last NDHWC with the spatial dims
+(H, W, D).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.module import Ctx, init as module_init
+from . import layers as L
+
+EPS_ENCODER = 1.1e-5  # reference denseunet3d.py:28
+ENC_BLOCKS = (3, 4, 12, 8)  # reference denseunet3d.py:126
+GROWTH_RATE = 32
+INITIAL_FILTERS = 96
+
+
+def _conv_block3d(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
+    """Reference denseunet3d.py:18-52."""
+    base = f"3dconv{stage}_{branch}"
+    inter = growth * 4
+    x = L.batch_norm(ctx, x, base + "_x1_bn", eps=EPS_ENCODER, frozen=frozen)
+    x = L.scale(ctx, x, base + "_x1_scale")
+    x = L.relu(x)
+    x = L.conv3d(ctx, x, base + "_x1", inter, 1, padding="valid", use_bias=False)
+    x = L.dropout(ctx, x, dropout_rate)
+    x = L.batch_norm(ctx, x, base + "_x2_bn", eps=EPS_ENCODER, frozen=frozen)
+    x = L.scale(ctx, x, base + "_x2_scale")
+    x = L.relu(x)
+    x = L.conv3d(ctx, x, base + "_x2", growth, 3, padding=1, use_bias=False)
+    x = L.dropout(ctx, x, dropout_rate)
+    return x
+
+
+def _dense_block3d(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropout_rate=0.0):
+    """Reference denseunet3d.py:53-77."""
+    feat = x
+    for i in range(nb_layers):
+        out = _conv_block3d(ctx, feat, stage, i + 1, growth, frozen=frozen, dropout_rate=dropout_rate)
+        feat = jnp.concatenate([feat, out], axis=-1)
+        nb_filter += growth
+    return feat, nb_filter
+
+
+def _transition3d(ctx, x, stage, nb_filter, compression, *, frozen, dropout_rate=0.0):
+    """Reference denseunet3d.py:78-104 — z-preserving (2,2,1) average pool."""
+    base = f"3dconv{stage}_blk"
+    x = L.batch_norm(ctx, x, base + "_bn", eps=EPS_ENCODER, frozen=frozen)
+    x = L.scale(ctx, x, base + "_scale")
+    x = L.relu(x)
+    x = L.conv3d(
+        ctx, x, base, int(nb_filter * compression), 1, padding="valid", use_bias=False
+    )
+    x = L.dropout(ctx, x, dropout_rate)
+    x = L.avg_pool(x, (2, 2, 1), (2, 2, 1))
+    return x
+
+
+def _up_stage3d(ctx, x, idx, features, up, *, frozen):
+    """UpSample -> Conv3x3x3 -> BN -> ReLU (reference denseunet3d.py:158-186)."""
+    x = L.upsample_nearest(x, up)
+    x = L.conv3d(ctx, x, f"3dconv_up{idx}", features, 3, padding="same")
+    x = L.batch_norm(ctx, x, f"3dbn_up{idx}", eps=1e-3, frozen=frozen)
+    return L.relu(x)
+
+
+def apply(
+    ctx: Ctx,
+    x,
+    *,
+    reduction: float = 0.5,
+    num_classes: int = 3,
+    bn_frozen: bool = False,
+    block_dropout: float = 0.0,
+):
+    """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
+
+    Returns (ac_up4 features (B,H,W,D,64), logits (B,H,W,D,num_classes)).
+    """
+    assert x.ndim == 5 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
+    assert x.shape[3] % 4 == 0, f"depth {x.shape[3]} must be divisible by 4"
+    compression = 1.0 - reduction
+
+    x = L.conv3d(ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
+    x = L.batch_norm(ctx, x, "3dconv1_bn", eps=EPS_ENCODER, frozen=bn_frozen)
+    x = L.scale(ctx, x, "3dconv1_scale")
+    x = L.relu(x)
+    x = L.max_pool(x, 3, 2, pad=1)
+
+    nb_filter = INITIAL_FILTERS
+    stage = 1
+    for block_idx, nb_layers in enumerate(ENC_BLOCKS[:-1]):
+        stage = block_idx + 2
+        x, nb_filter = _dense_block3d(
+            ctx, x, stage, nb_layers, nb_filter, GROWTH_RATE,
+            frozen=bn_frozen, dropout_rate=block_dropout,
+        )
+        x = _transition3d(ctx, x, stage, nb_filter, compression, frozen=bn_frozen, dropout_rate=block_dropout)
+        nb_filter = int(nb_filter * compression)
+
+    final_stage = stage + 1
+    x, nb_filter = _dense_block3d(
+        ctx, x, final_stage, ENC_BLOCKS[-1], nb_filter, GROWTH_RATE,
+        frozen=bn_frozen, dropout_rate=block_dropout,
+    )
+    x = L.batch_norm(ctx, x, f"3dconv{final_stage}_blk_bn", eps=EPS_ENCODER, frozen=bn_frozen)
+    x = L.scale(ctx, x, f"3dconv{final_stage}_blk_scale")
+    x = L.relu(x)
+
+    d = _up_stage3d(ctx, x, 0, 504, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 1, 224, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 2, 192, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 3, 96, (2, 2, 2), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 4, 64, (2, 2, 2), frozen=bn_frozen)
+
+    logits = L.conv3d(ctx, d, "3dclassifer", num_classes, 1, padding="same")
+    return d, logits
+
+
+def init(rng, *, input_size=224, input_cols=8, channels=1, batch=1, **kwargs):
+    example = jnp.zeros((batch, input_size, input_size, input_cols, channels), jnp.float32)
+    return module_init(apply, rng, example, **kwargs)

@@ -1,0 +1,158 @@
+"""Model zoo: shape, wiring, and architecture-constant checks.
+
+Verifies the re-implemented graphs against the reference's derivable facts:
+channel progressions of DenseNet-161 (2D) / the 3D DenseNet, decoder widths,
+head names, and the hybrid fold/unfold round trip.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hdenseunet_tpu.core.module import Ctx, param_count
+from hdenseunet_tpu.models import denseunet2d, denseunet3d, hybrid, dilated_resnet
+
+
+@pytest.fixture(scope="module")
+def params2d():
+    return denseunet2d.init(jax.random.key(0), input_size=64)
+
+
+def test_denseunet2d_shapes_and_channels(params2d):
+    params, state = params2d
+    # encoder channel progression (DenseNet-161, growth 48, compression .5)
+    assert params["conv1"]["kernel"].shape == (7, 7, 3, 96)
+    assert params["conv2_1_x1"]["kernel"].shape == (1, 1, 96, 192)
+    assert params["conv2_blk"]["kernel"].shape == (1, 1, 384, 192)
+    assert params["conv3_blk"]["kernel"].shape == (1, 1, 768, 384)
+    assert params["conv4_blk"]["kernel"].shape == (1, 1, 2112, 1056)
+    assert params["conv5_blk_scale"]["gamma"].shape == (2208,)
+    # decoder widths (reference densenet.py:70-96)
+    assert params["conv_up0"]["kernel"].shape == (3, 3, 2208, 768)
+    assert params["conv_up4"]["kernel"].shape == (3, 3, 96, 64)
+    assert params["dense167classifer"]["kernel"].shape == (1, 1, 64, 3)
+    # encoder convs have no bias; decoder convs do
+    assert "bias" not in params["conv1"]
+    assert "bias" in params["conv_up0"]
+
+    x = jnp.ones((2, 64, 64, 3))
+    feat, logits = denseunet2d.apply(Ctx(params, state), x)
+    assert feat.shape == (2, 64, 64, 64)
+    assert logits.shape == (2, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_denseunet2d_param_count_is_167_style(params2d):
+    params, _ = params2d
+    n_conv = sum(1 for k in params if "kernel" in params[k])
+    # DenseNet-161 encoder: 1 stem + 2*(6+12+36+24) bottleneck/3x3 + 3 transitions
+    # = 160 convs; decoder: 5 conv_up + classifier = 6 -> 166 conv layers total.
+    assert n_conv == 166
+    assert param_count(params) > 4e7  # ~45M
+
+
+def test_denseunet2d_legacy_skip_variant():
+    params, state = denseunet2d.init(
+        jax.random.key(0), input_size=64, skip_connections=True
+    )
+    assert params["line0"]["kernel"].shape == (1, 1, 2112, 2208)
+    x = jnp.ones((1, 64, 64, 3))
+    feat, logits = denseunet2d.apply(Ctx(params, state), x, skip_connections=True)
+    assert logits.shape == (1, 64, 64, 3)
+
+
+def test_denseunet2d_train_mode_updates_bn_state(params2d):
+    params, state = params2d
+    ctx = Ctx(params, state, train=True, rng=jax.random.key(1))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    denseunet2d.apply(ctx, x)
+    assert "conv1_bn" in ctx.new_state
+    assert "bn_up4" in ctx.new_state
+    # frozen mode produces no updates
+    ctx_f = Ctx(params, state, train=True, rng=jax.random.key(1))
+    denseunet2d.apply(ctx_f, x, bn_frozen=True, decoder_dropout=0.0)
+    assert ctx_f.new_state == {}
+
+
+@pytest.fixture(scope="module")
+def params3d():
+    return denseunet3d.init(jax.random.key(0), input_size=32, input_cols=4, channels=2)
+
+
+def test_denseunet3d_shapes_and_channels(params3d):
+    params, state = params3d
+    assert params["3dconv1"]["kernel"].shape == (7, 7, 7, 2, 96)
+    # channel progression: growth 32, blocks (3,4,12,8), compression .5
+    assert params["3dconv2_blk"]["kernel"].shape == (1, 1, 1, 192, 96)
+    assert params["3dconv3_blk"]["kernel"].shape == (1, 1, 1, 224, 112)
+    assert params["3dconv4_blk"]["kernel"].shape == (1, 1, 1, 496, 248)
+    assert params["3dconv_up0"]["kernel"].shape == (3, 3, 3, 504, 504)
+    assert params["3dclassifer"]["kernel"].shape == (1, 1, 1, 64, 3)
+
+    x = jnp.ones((1, 32, 32, 4, 2))
+    feat, logits = denseunet3d.apply(Ctx(params, state), x)
+    assert feat.shape == (1, 32, 32, 4, 64)
+    assert logits.shape == (1, 32, 32, 4, 3)
+
+
+def test_hybrid_stack_unstack_roundtrip():
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((2, 8, 8, 4, 1)), jnp.float32)
+    stacks = hybrid.stack_adjacent_slices(vol)
+    assert stacks.shape == (8, 8, 8, 3)
+    v = np.asarray(vol)[..., 0]
+    s = np.asarray(stacks)
+    # stack 0 of batch 0: [z0, z0, z1] (edge replication, hybridnet.py:385-387)
+    np.testing.assert_array_equal(s[0, :, :, 0], v[0, :, :, 0])
+    np.testing.assert_array_equal(s[0, :, :, 1], v[0, :, :, 0])
+    np.testing.assert_array_equal(s[0, :, :, 2], v[0, :, :, 1])
+    # interior stack 2: [z1, z2, z3]
+    np.testing.assert_array_equal(s[2, :, :, 0], v[0, :, :, 1])
+    np.testing.assert_array_equal(s[2, :, :, 2], v[0, :, :, 3])
+    # last stack of batch 1: [z2, z3, z3]
+    np.testing.assert_array_equal(s[7, :, :, 0], v[1, :, :, 2])
+    np.testing.assert_array_equal(s[7, :, :, 2], v[1, :, :, 3])
+    # unstack inverts the center channel
+    back = hybrid.unstack_to_volume(stacks, 2, 4)
+    np.testing.assert_array_equal(np.asarray(back)[..., 1], v)
+
+
+@pytest.mark.slow
+def test_hybrid_forward():
+    params, state = hybrid.init(jax.random.key(0), input_size=32, input_cols=4)
+    # contains both branches + HFF head
+    assert "conv1" in params and "3dconv1" in params
+    assert "fianl_conv" in params and "2d3dclassifer" in params
+    vol = jnp.ones((1, 32, 32, 4, 1))
+    logits = hybrid.apply(Ctx(params, state), vol)
+    assert logits.shape == (1, 32, 32, 4, 3)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_trainable_predicates():
+    p2d = hybrid.trainable_predicate("2d")
+    assert p2d("conv1", "kernel") and p2d("bn_up0", "gamma")
+
+    p3 = hybrid.trainable_predicate("3dpart")
+    assert not p3("conv1", "kernel")
+    assert not p3("conv_up0", "kernel")
+    assert not p3("dense167classifer", "kernel")
+    assert p3("3dconv1", "kernel")
+    assert p3("fianl_conv", "kernel") and p3("2d3dclassifer", "kernel")
+
+    pe = hybrid.trainable_predicate("end2end")
+    assert pe("conv1", "kernel")  # 2D convs train (hybridnet.py:210)
+    assert pe("conv1_scale", "gamma")  # Scales train (:212)
+    assert not pe("conv1_bn", "gamma")  # BNs frozen (:211)
+    assert not pe("bn_up0", "gamma")  # decoder BNs frozen (:237)
+    assert pe("3dbn_up0", "gamma")  # 3D BNs train
+    assert pe("final_bn", "gamma")
+
+
+def test_dilated_resnet_forward():
+    params, state = dilated_resnet.init(
+        jax.random.key(0), input_size=32, input_cols=4
+    )
+    x = jnp.ones((1, 32, 32, 4, 1))
+    y = dilated_resnet.apply(Ctx(params, state), x)
+    assert y.shape == (1, 32, 32, 4, 2)
