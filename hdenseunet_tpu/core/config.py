@@ -41,6 +41,7 @@ class ModelConfig:
     num_classes: int = 3  # bg / liver / tumor
     reduction: float = 0.5
     compute_dtype: str = "float32"  # 'bfloat16' for the fast path
+    preset: str = "full"  # 'full' (reference layout) | 'tiny' (tests/dry runs)
 
 
 @dataclasses.dataclass

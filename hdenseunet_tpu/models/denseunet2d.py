@@ -31,6 +31,17 @@ ENC_BLOCKS = (6, 12, 36, 24)  # DenseNet-161 (densenet.py:41)
 GROWTH_RATE = 48
 INITIAL_FILTERS = 96
 
+# Architecture presets: 'full' is the reference DenseNet-161 layout; 'tiny' is a
+# shrunk stand-in with identical wiring used by fast tests and dry runs.
+PRESETS = {
+    "full": {},
+    "tiny": {
+        "blocks": (2, 2, 2, 2),
+        "growth": 8,
+        "decoder_widths": (32, 32, 16, 16, 16),
+    },
+}
+
 
 def _conv_block(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
     """BN-Scale-ReLU-Conv1x1 bottleneck, then BN-Scale-ReLU-Conv3x3
@@ -74,7 +85,16 @@ def _transition(ctx, x, stage, nb_filter, compression, *, frozen, dropout_rate=0
     return x
 
 
-def encoder(ctx: Ctx, x, *, reduction=0.5, frozen=False, dropout_rate=0.0):
+def encoder(
+    ctx: Ctx,
+    x,
+    *,
+    reduction=0.5,
+    frozen=False,
+    dropout_rate=0.0,
+    blocks=ENC_BLOCKS,
+    growth=GROWTH_RATE,
+):
     """DenseNet-161 feature extractor. Returns (final features, skip boxes)."""
     compression = 1.0 - reduction
     box = []
@@ -87,10 +107,10 @@ def encoder(ctx: Ctx, x, *, reduction=0.5, frozen=False, dropout_rate=0.0):
 
     nb_filter = INITIAL_FILTERS
     stage = 1
-    for block_idx, nb_layers in enumerate(ENC_BLOCKS[:-1]):
+    for block_idx, nb_layers in enumerate(blocks[:-1]):
         stage = block_idx + 2
         x, nb_filter = _dense_block(
-            ctx, x, stage, nb_layers, nb_filter, GROWTH_RATE,
+            ctx, x, stage, nb_layers, nb_filter, growth,
             frozen=frozen, dropout_rate=dropout_rate,
         )
         box.append(x)
@@ -99,7 +119,7 @@ def encoder(ctx: Ctx, x, *, reduction=0.5, frozen=False, dropout_rate=0.0):
 
     final_stage = stage + 1
     x, nb_filter = _dense_block(
-        ctx, x, final_stage, ENC_BLOCKS[-1], nb_filter, GROWTH_RATE,
+        ctx, x, final_stage, blocks[-1], nb_filter, growth,
         frozen=frozen, dropout_rate=dropout_rate,
     )
     x = L.batch_norm(ctx, x, f"conv{final_stage}_blk_bn", eps=EPS_ENCODER, frozen=frozen)
@@ -132,26 +152,39 @@ def apply(
     skip_connections: bool = False,
     decoder_dropout: float = 0.3,
     block_dropout: float = 0.0,
+    blocks: tuple = ENC_BLOCKS,
+    growth: int = GROWTH_RATE,
+    decoder_widths: tuple = (768, 384, 96, 96, 64),
 ):
     """Forward pass. x: (B, H, W, 3), H and W divisible by 32.
 
-    Returns (ac_up4 features (B,H,W,64), logits (B,H,W,num_classes)).
+    ``blocks``/``growth``/``decoder_widths`` default to the reference
+    DenseNet-161 configuration; smaller presets are used by tests and scaling
+    studies (the reference hard-codes the 161 layout, densenet.py:40-41).
+
+    Returns (ac_up4 features, logits (B,H,W,num_classes)).
     """
     assert x.ndim == 4 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
-    feat, box = encoder(ctx, x, reduction=reduction, frozen=bn_frozen, dropout_rate=block_dropout)
+    feat, box = encoder(
+        ctx, x, reduction=reduction, frozen=bn_frozen, dropout_rate=block_dropout,
+        blocks=blocks, growth=growth,
+    )
 
     skips = [None] * 5
     if skip_connections:
         # legacy decoder (denseunet.py:190-209): project box[3] with 1x1 conv,
         # add box[2]/box[1]/box[0] directly; up4 has no skip.
-        skips[0] = L.conv2d(ctx, box[3], "line0", 2208, 1, padding="same", init="normal")
+        skips[0] = L.conv2d(
+            ctx, box[3], "line0", int(feat.shape[-1]), 1, padding="same", init="normal"
+        )
         skips[1], skips[2], skips[3] = box[2], box[1], box[0]
 
-    d = _up_stage(ctx, feat, 0, 768, frozen=bn_frozen, skip=skips[0])
-    d = _up_stage(ctx, d, 1, 384, frozen=bn_frozen, skip=skips[1])
-    d = _up_stage(ctx, d, 2, 96, frozen=bn_frozen, skip=skips[2])
-    d = _up_stage(ctx, d, 3, 96, frozen=bn_frozen, skip=skips[3])
-    d = _up_stage(ctx, d, 4, 64, frozen=bn_frozen, dropout_rate=decoder_dropout)
+    w0, w1, w2, w3, w4 = decoder_widths
+    d = _up_stage(ctx, feat, 0, w0, frozen=bn_frozen, skip=skips[0])
+    d = _up_stage(ctx, d, 1, w1, frozen=bn_frozen, skip=skips[1])
+    d = _up_stage(ctx, d, 2, w2, frozen=bn_frozen, skip=skips[2])
+    d = _up_stage(ctx, d, 3, w3, frozen=bn_frozen, skip=skips[3])
+    d = _up_stage(ctx, d, 4, w4, frozen=bn_frozen, dropout_rate=decoder_dropout)
 
     logits = L.conv2d(ctx, d, "dense167classifer", num_classes, 1, padding="same", init="normal")
     return d, logits

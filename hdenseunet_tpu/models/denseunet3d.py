@@ -22,6 +22,16 @@ ENC_BLOCKS = (3, 4, 12, 8)  # reference denseunet3d.py:126
 GROWTH_RATE = 32
 INITIAL_FILTERS = 96
 
+# 'full' is the reference layout; 'tiny' is a shrunk same-wiring test preset.
+PRESETS = {
+    "full": {},
+    "tiny": {
+        "blocks": (1, 1, 2, 2),
+        "growth": 8,
+        "decoder_widths": (16, 16, 16, 16, 16),
+    },
+}
+
 
 def _conv_block3d(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
     """Reference denseunet3d.py:18-52."""
@@ -80,6 +90,9 @@ def apply(
     num_classes: int = 3,
     bn_frozen: bool = False,
     block_dropout: float = 0.0,
+    blocks: tuple = ENC_BLOCKS,
+    growth: int = GROWTH_RATE,
+    decoder_widths: tuple = (504, 224, 192, 96, 64),
 ):
     """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
 
@@ -97,10 +110,10 @@ def apply(
 
     nb_filter = INITIAL_FILTERS
     stage = 1
-    for block_idx, nb_layers in enumerate(ENC_BLOCKS[:-1]):
+    for block_idx, nb_layers in enumerate(blocks[:-1]):
         stage = block_idx + 2
         x, nb_filter = _dense_block3d(
-            ctx, x, stage, nb_layers, nb_filter, GROWTH_RATE,
+            ctx, x, stage, nb_layers, nb_filter, growth,
             frozen=bn_frozen, dropout_rate=block_dropout,
         )
         x = _transition3d(ctx, x, stage, nb_filter, compression, frozen=bn_frozen, dropout_rate=block_dropout)
@@ -108,18 +121,19 @@ def apply(
 
     final_stage = stage + 1
     x, nb_filter = _dense_block3d(
-        ctx, x, final_stage, ENC_BLOCKS[-1], nb_filter, GROWTH_RATE,
+        ctx, x, final_stage, blocks[-1], nb_filter, growth,
         frozen=bn_frozen, dropout_rate=block_dropout,
     )
     x = L.batch_norm(ctx, x, f"3dconv{final_stage}_blk_bn", eps=EPS_ENCODER, frozen=bn_frozen)
     x = L.scale(ctx, x, f"3dconv{final_stage}_blk_scale")
     x = L.relu(x)
 
-    d = _up_stage3d(ctx, x, 0, 504, (2, 2, 1), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 1, 224, (2, 2, 1), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 2, 192, (2, 2, 1), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 3, 96, (2, 2, 2), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 4, 64, (2, 2, 2), frozen=bn_frozen)
+    w0, w1, w2, w3, w4 = decoder_widths
+    d = _up_stage3d(ctx, x, 0, w0, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 1, w1, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 2, w2, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 3, w3, (2, 2, 2), frozen=bn_frozen)
+    d = _up_stage3d(ctx, d, 4, w4, (2, 2, 2), frozen=bn_frozen)
 
     logits = L.conv3d(ctx, d, "3dclassifer", num_classes, 1, padding="same")
     return d, logits

@@ -64,7 +64,7 @@ def unstack_to_volume(y, batch, depth):
     return jnp.transpose(y, (0, 2, 3, 1, 4))
 
 
-def apply(ctx: Ctx, vol, *, arch: str = "end2end", num_classes: int = 3):
+def apply(ctx: Ctx, vol, *, arch: str = "end2end", num_classes: int = 3, preset: str = "full"):
     """Forward pass. vol: (B, H, W, D, 1); H, W divisible by 32; D by 4.
 
     Returns logits (B, H, W, D, num_classes).
@@ -80,12 +80,15 @@ def apply(ctx: Ctx, vol, *, arch: str = "end2end", num_classes: int = 3):
         bn_frozen=True,  # both hybrid archs freeze all 2D BN statistics
         decoder_dropout=0.0,  # no decoder dropout inside the hybrid 2D branch
         num_classes=num_classes,
+        **denseunet2d.PRESETS[preset],
     )
     res2d = unstack_to_volume(logits2d, b, d)  # (B,H,W,D,3)
     fea2d = unstack_to_volume(feat2d, b, d)  # (B,H,W,D,64)
 
     input3d = jnp.concatenate([vol, res2d * LOGIT_AMPLIFICATION], axis=-1)
-    feat3d, _ = denseunet3d.apply(ctx, input3d, reduction=0.5)
+    feat3d, _ = denseunet3d.apply(
+        ctx, input3d, reduction=0.5, **denseunet3d.PRESETS[preset]
+    )
 
     fused = feat3d + fea2d  # HFF (hybridnet.py:414)
     f = L.conv3d(ctx, fused, "fianl_conv", 64, 3, padding="same")  # [sic] reference name

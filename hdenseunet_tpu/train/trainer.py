@@ -1,0 +1,258 @@
+"""Jitted training steps + host-side training loop.
+
+TPU-native replacement for the reference training system (SURVEY.md §3.2-3.3):
+Keras `Model.compile`/`fit_generator`/`train_on_batch`
+(Keras-2.0.8/keras/engine/training.py:570/:1831/:1715, one `sess.run` per
+step) becomes ONE jitted, donated, data-parallel train step: forward + backward
++ SGD update + BN-state merge fused into a single XLA program. The global
+batch is sharded over the mesh 'data' axis; parameters/optimizer state are
+replicated and XLA inserts the gradient all-reduce (psum over ICI) — replacing
+the reference's in-graph tower replication (utils2/multi_gpu.py).
+
+Stages (reference recipes):
+  '2d'      — train_2ddense.py: DenseUNet-2D on (B,H,W,3) slabs, per-center-slice
+              labels, weighted CE, everything trainable.
+  '3dpart'  — train_hybrid.py -arch 3dpart: hybrid with the whole 2D branch
+              frozen; boundary z-slices masked from the loss.
+  'end2end' — train_hybrid.py -arch end2end: hybrid with 2D convs/Scales
+              training, all 2D BNs frozen.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import Config
+from ..core.mesh import batch_sharding, check_batch_divisible, make_mesh, replicated
+from ..core.module import Ctx, merge_state
+from ..models import denseunet2d, hybrid
+from . import checkpoint as ckpt_lib
+from .loss import weighted_crossentropy_2d, weighted_crossentropy_hybrid
+from .optimizer import make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    rng: Any  # PRNG key, split per step for dropout
+
+
+def create_train_state(rng, cfg: Config, arch: str | None = None):
+    """Initialize model + optimizer for the given stage."""
+    arch = arch or cfg.train.arch
+    init_rng, loop_rng = jax.random.split(jax.random.key(cfg.train.seed) if rng is None else rng)
+    if arch == "2d":
+        params, bn_state = denseunet2d.init(
+            init_rng,
+            input_size=cfg.model.input_size,
+            reduction=cfg.model.reduction,
+            **denseunet2d.PRESETS[cfg.model.preset],
+        )
+    else:
+        params, bn_state = hybrid.init(
+            init_rng,
+            input_size=cfg.model.input_size,
+            input_cols=cfg.model.input_cols,
+            arch=arch,
+            preset=cfg.model.preset,
+        )
+    tx, labels = make_optimizer(
+        params, arch, cfg.train.lr, cfg.train.momentum, cfg.train.nesterov
+    )
+    opt_state = tx.init(params)
+    ts = TrainState(jnp.zeros((), jnp.int32), params, bn_state, opt_state, loop_rng)
+    return ts, tx, labels
+
+
+def _forward_loss(params, bn_state, batch, rng, *, arch, cfg: Config, train=True):
+    dtype = jnp.dtype(cfg.model.compute_dtype)
+    ctx = Ctx(params, bn_state, train=train, rng=rng, compute_dtype=dtype)
+    image = batch["image"].astype(dtype)
+    if arch == "2d":
+        _, logits = denseunet2d.apply(
+            ctx,
+            image,
+            reduction=cfg.model.reduction,
+            num_classes=cfg.model.num_classes,
+            **denseunet2d.PRESETS[cfg.model.preset],
+        )
+        loss = weighted_crossentropy_2d(logits, batch["label"], cfg.train.loss_weights)
+    else:
+        logits = hybrid.apply(
+            ctx,
+            image,
+            arch=arch,
+            num_classes=cfg.model.num_classes,
+            preset=cfg.model.preset,
+        )
+        if cfg.train.mask_boundary_slices:
+            loss = weighted_crossentropy_hybrid(
+                logits, batch["label"], cfg.train.loss_weights
+            )
+        else:
+            loss = weighted_crossentropy_2d(
+                logits.reshape(-1, logits.shape[-1]),
+                batch["label"].reshape(-1),
+                cfg.train.loss_weights,
+            )
+    return loss, ctx.new_state
+
+
+def make_train_step(tx, cfg: Config, mesh, arch: str | None = None):
+    """Build the jitted DP train step: (TrainState, batch) -> (TrainState, loss)."""
+    arch = arch or cfg.train.arch
+
+    def step_fn(ts: TrainState, batch):
+        rng, next_rng = jax.random.split(ts.rng)
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(p, ts.bn_state, batch, rng, arch=arch, cfg=cfg),
+            has_aux=True,
+        )
+        (loss, new_bn), grads = grad_fn(ts.params)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        bn_state = merge_state(ts.bn_state, new_bn)
+        return (
+            TrainState(ts.step + 1, params, bn_state, opt_state, next_rng),
+            loss,
+        )
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: Config, mesh, arch: str | None = None):
+    """Jitted forward-only loss (no dropout, inference BN stats)."""
+    arch = arch or cfg.train.arch
+
+    def eval_fn(params, bn_state, batch):
+        loss, _ = _forward_loss(
+            params, bn_state, batch, None, arch=arch, cfg=cfg, train=False
+        )
+        return loss
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(rep, rep, bsh), out_shardings=rep)
+
+
+class MetricsLogger:
+    """Epoch/batch loss logs + throughput counters.
+
+    Writes `history/lossepoch.txt` like the reference's modified ProgbarLogger
+    (Keras-2.0.8/keras/callbacks.py:311-314) but without the hardcoded global
+    path, plus `history/lossbatch.txt` (referenced by train_2ddense.py:197 but
+    missing from the vendored code) and slices/sec/chip.
+    """
+
+    def __init__(self, save_path: str, slices_per_sample: int = 1):
+        self.dir = Path(save_path) / "history"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.slices_per_sample = slices_per_sample
+        self._epoch_losses: list[float] = []
+        self._t0 = time.perf_counter()
+        self._samples = 0
+
+    def log_step(self, loss: float, batch_size: int):
+        self._epoch_losses.append(float(loss))
+        self._samples += batch_size
+        with open(self.dir / "lossbatch.txt", "a") as f:
+            f.write(f"{float(loss):.6f}\n")
+
+    def end_epoch(self) -> dict:
+        dt = max(time.perf_counter() - self._t0, 1e-9)
+        n_dev = jax.device_count()
+        stats = {
+            "loss": float(np.mean(self._epoch_losses)) if self._epoch_losses else float("nan"),
+            "samples_per_sec": self._samples / dt,
+            "slices_per_sec_per_chip": self._samples * self.slices_per_sample / dt / n_dev,
+        }
+        with open(self.dir / "lossepoch.txt", "a") as f:
+            f.write(f"{stats['loss']:.6f}\n")
+        self._epoch_losses.clear()
+        self._t0 = time.perf_counter()
+        self._samples = 0
+        return stats
+
+
+def train(
+    cfg: Config,
+    batch_iterator,
+    *,
+    mesh=None,
+    max_steps: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    log_fn=print,
+):
+    """Host training loop: prefetched host batches -> sharded device steps.
+
+    `batch_iterator` yields dicts with 'image' and 'label' numpy arrays whose
+    leading dim is the GLOBAL batch. Replaces fit_generator
+    (training.py:1831-2089) + GeneratorEnqueuer (data_utils.py:530).
+    """
+    mesh = mesh or make_mesh()
+    arch = cfg.train.arch
+    check_batch_divisible(cfg.train.batch, mesh)
+    ts, tx, _ = create_train_state(None, cfg, arch)
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = ckpt_lib.Checkpointer(checkpoint_dir)
+        if resume:
+            restored = ckpt.restore_latest(ts)
+            if restored is not None:
+                ts = restored
+                log_fn(f"resumed from step {int(ts.step)}")
+
+    step_fn = make_train_step(tx, cfg, mesh, arch)
+    bsh = batch_sharding(mesh)
+    slices = cfg.model.input_cols if arch != "2d" else 1
+    metrics = MetricsLogger(cfg.train.save_path, slices_per_sample=slices)
+
+    steps_per_epoch = cfg.train.resolved_steps_per_epoch()
+    total = max_steps if max_steps is not None else steps_per_epoch * cfg.train.epochs
+    pending: list = []  # device loss scalars; drained at the log cadence so the
+    # host never syncs per step (async dispatch stays ahead of the TPU)
+    for i, batch in enumerate(batch_iterator):
+        if i >= total:
+            break
+        device_batch = {
+            k: jax.device_put(np.asarray(v), bsh) for k, v in batch.items()
+        }
+        ts, loss = step_fn(ts, device_batch)
+        pending.append(loss)
+        step = i + 1
+        if step % cfg.train.log_every_steps == 0 or step == total or step % steps_per_epoch == 0:
+            for val in pending:
+                v = float(val)
+                if not np.isfinite(v):
+                    raise FloatingPointError(f"non-finite loss near step {step}: {v}")
+                metrics.log_step(v, cfg.train.batch)
+            pending.clear()
+        if step % steps_per_epoch == 0:
+            stats = metrics.end_epoch()
+            log_fn(
+                f"epoch {step // steps_per_epoch}: loss={stats['loss']:.4f} "
+                f"({stats['slices_per_sec_per_chip']:.1f} slices/s/chip)"
+            )
+        if ckpt is not None and step % cfg.train.checkpoint_every_steps == 0:
+            ckpt.save(int(ts.step), ts)
+    if ckpt is not None:
+        ckpt.save(int(ts.step), ts)
+        ckpt.wait()
+    return ts

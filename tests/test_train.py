@@ -1,0 +1,171 @@
+"""Training system: DP train step on the 8-device CPU mesh, staged freezing,
+optimizer parity, checkpoint round trip."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from hdenseunet_tpu.core.config import Config
+from hdenseunet_tpu.core.mesh import batch_sharding, make_mesh
+from hdenseunet_tpu.train import trainer
+from hdenseunet_tpu.train.optimizer import (
+    count_trainable,
+    make_optimizer,
+    sgd_nesterov,
+    trainable_labels,
+)
+
+
+def _tiny_cfg(arch="2d", batch=8, size=32, cols=4):
+    cfg = Config()
+    cfg.model.input_size = size
+    cfg.model.input_cols = cols
+    cfg.model.preset = "tiny"
+    cfg.train.arch = arch
+    cfg.train.batch = batch
+    cfg.train.lr = 1e-3
+    cfg.train.log_every_steps = 1
+    return cfg
+
+
+def _batch(rng, cfg, arch):
+    b, s = cfg.train.batch, cfg.model.input_size
+    if arch == "2d":
+        return {
+            "image": rng.standard_normal((b, s, s, 3)).astype(np.float32),
+            "label": rng.integers(0, 3, (b, s, s, 1)).astype(np.int16),
+        }
+    d = cfg.model.input_cols
+    return {
+        "image": rng.standard_normal((b, s, s, d, 1)).astype(np.float32),
+        "label": rng.integers(0, 3, (b, s, s, d, 1)).astype(np.int16),
+    }
+
+
+def test_sgd_nesterov_matches_keras_formulation():
+    # Keras optimizers.py:155-194: v = m*v - lr*g ; p += m*v - lr*g
+    lr, m = 0.1, 0.9
+    tx = sgd_nesterov(lr, m, True)
+    p = jnp.asarray([1.0, -2.0])
+    g1 = jnp.asarray([0.5, 0.25])
+    g2 = jnp.asarray([-0.5, 1.0])
+    state = tx.init(p)
+    up1, state = tx.update(g1, state, p)
+    p1 = optax.apply_updates(p, up1)
+    up2, state = tx.update(g2, state, p1)
+    p2 = optax.apply_updates(p1, up2)
+
+    # manual Keras recursion
+    pk, v = np.asarray(p), np.zeros(2)
+    for g in [np.asarray(g1), np.asarray(g2)]:
+        v = m * v - lr * g
+        pk = pk + m * v - lr * g
+    np.testing.assert_allclose(np.asarray(p2), pk, rtol=1e-6)
+
+
+def test_train_step_2d_runs_and_decreases_loss():
+    cfg = _tiny_cfg("2d")
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    ts, tx, _ = trainer.create_train_state(jax.random.key(0), cfg, "2d")
+    step = trainer.make_train_step(tx, cfg, mesh, "2d")
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, cfg, "2d")
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    losses = []
+    for _ in range(3):
+        ts, loss = step(ts, dev_batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch -> loss must drop
+    assert int(ts.step) == 3
+    # BN moving stats moved away from init
+    mv = np.asarray(ts.bn_state["conv1_bn"]["moving_variance"])
+    assert not np.allclose(mv, 1.0)
+
+
+def test_dp_sharded_loss_equals_single_device():
+    cfg = _tiny_cfg("2d")
+    mesh = make_mesh()
+    ts, tx, _ = trainer.create_train_state(jax.random.key(0), cfg, "2d")
+    batch = _batch(np.random.default_rng(1), cfg, "2d")
+    rng = jax.random.key(7)
+    # global (replicated, single-program) loss
+    loss_ref, _ = trainer._forward_loss(
+        ts.params, ts.bn_state, {k: jnp.asarray(v) for k, v in batch.items()},
+        rng, arch="2d", cfg=cfg, train=False,
+    )
+    # sharded loss under jit over the mesh
+    eval_step = trainer.make_eval_step(cfg, mesh, "2d")
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    loss_dp = eval_step(ts.params, ts.bn_state, dev_batch)
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_step_3dpart_freezes_2d_branch():
+    cfg = _tiny_cfg("3dpart", batch=8, size=32, cols=4)
+    mesh = make_mesh()
+    ts, tx, labels = trainer.create_train_state(jax.random.key(0), cfg, "3dpart")
+    n_train = count_trainable(ts.params, labels)
+    n_total = sum(int(x.size) for x in jax.tree.leaves(ts.params))
+    assert 0 < n_train < n_total
+
+    step = trainer.make_train_step(tx, cfg, mesh, "3dpart")
+    batch = _batch(np.random.default_rng(2), cfg, "3dpart")
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    before2d = np.asarray(ts.params["conv1"]["kernel"])
+    before3d = np.asarray(ts.params["3dconv1"]["kernel"])
+    before_hff = np.asarray(ts.params["fianl_conv"]["kernel"])
+    ts, loss = step(ts, dev_batch)
+    assert np.isfinite(float(loss))
+    np.testing.assert_array_equal(np.asarray(ts.params["conv1"]["kernel"]), before2d)
+    assert not np.allclose(np.asarray(ts.params["3dconv1"]["kernel"]), before3d)
+    assert not np.allclose(np.asarray(ts.params["fianl_conv"]["kernel"]), before_hff)
+    # 2D BN stats must not move in the hybrid (frozen statistics)
+    np.testing.assert_array_equal(
+        np.asarray(ts.bn_state["conv1_bn"]["moving_variance"]), 1.0
+    )
+    # 3D BN stats must move
+    assert not np.allclose(
+        np.asarray(ts.bn_state["3dconv1_bn"]["moving_variance"]), 1.0
+    )
+
+
+def test_end2end_labels_freeze_only_2d_bn():
+    cfg = _tiny_cfg("end2end", size=32, cols=4)
+    ts, tx, labels = trainer.create_train_state(jax.random.key(0), cfg, "end2end")
+    assert labels["conv1"]["kernel"] == "train"
+    assert labels["conv1_scale"]["gamma"] == "train"
+    assert labels["conv1_bn"]["gamma"] == "freeze"
+    assert labels["bn_up0"]["beta"] == "freeze"
+    assert labels["3dbn_up0"]["gamma"] == "train"
+    assert labels["final_bn"]["gamma"] == "train"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from hdenseunet_tpu.train.checkpoint import Checkpointer
+
+    cfg = _tiny_cfg("2d")
+    ts, tx, _ = trainer.create_train_state(jax.random.key(0), cfg, "2d")
+    ck = Checkpointer(tmp_path / "ckpt")
+    ck.save(3, ts)
+    ck.wait()
+    restored = ck.restore_latest(ts)
+    assert restored is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["conv1"]["kernel"]),
+        np.asarray(ts.params["conv1"]["kernel"]),
+    )
+    assert ck.all_steps() == [3]
+
+
+def test_trainable_labels_2d_all_train():
+    cfg = _tiny_cfg("2d")
+    ts, _, labels = trainer.create_train_state(jax.random.key(0), cfg, "2d")
+    flat = [v for leaves in labels.values() for v in leaves.values()]
+    assert set(flat) == {"train"}
