@@ -1,0 +1,243 @@
+"""Unified CLI — replaces the reference's four entry scripts.
+
+    python -m hdenseunet_tpu preprocess --raw data/TrainingData --out data/prepared
+    python -m hdenseunet_tpu train --arch 2d --data data/prepared [--config cfg.json]
+    python -m hdenseunet_tpu train --arch 3dpart --init-from ckpt_2d
+    python -m hdenseunet_tpu test --data data/myTestData --livermask livermask --weights ckpt
+    python -m hdenseunet_tpu convert-weights model_best.hdf5 out.npz --submodel denseu161
+    python -m hdenseunet_tpu synth-data --out /tmp/lits-tiny   (synthetic smoke dataset)
+
+One typed Config (core/config.py) serialized as JSON replaces the reference's
+three inconsistent argparse blocks (train_2ddense.py:21-34, train_hybrid.py:23-36,
+test.py:20-36) and its hardcoded globals.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_config(path, overrides):
+    from .core.config import Config
+
+    import json
+
+    cfg = Config.load(path) if path else Config()
+    for key, value in overrides.items():
+        section, name = key.split(".", 1)
+        obj = getattr(cfg, section)
+        if not hasattr(obj, name):
+            raise SystemExit(f"unknown config key {key}")
+        current = getattr(obj, name)
+        if isinstance(current, str):
+            parsed = value
+        else:
+            try:
+                parsed = json.loads(value)  # int/float/bool/null/lists
+            except (ValueError, TypeError):
+                parsed = value
+        setattr(obj, name, tuple(parsed) if isinstance(parsed, list) else parsed)
+    return cfg
+
+
+def cmd_preprocess(args):
+    from .core.config import DataConfig
+    from .data import preprocess
+
+    preprocess.run(
+        args.raw, args.out, num_volumes=args.num_volumes,
+        with_seg=not args.no_seg, cfg=DataConfig(),
+    )
+
+
+def cmd_synth_data(args):
+    from .data import preprocess
+
+    shape = tuple(int(s) for s in args.shape.split(","))
+    preprocess.synthesize(
+        args.out, num_volumes=args.num_volumes, shape=shape, seed=args.seed, log=print
+    )
+    print(f"synthetic dataset at {args.out}")
+
+
+def cmd_train(args):
+    from .core.mesh import make_mesh
+    from .data.pipeline import PrefetchIterator
+    from .data.preprocess import PreparedDataset
+    from .data.sampler import CropSampler, synthetic_batches
+    from .train import trainer
+    from .weights import convert as wconv
+
+    cfg = _load_config(args.config, dict(args.set or []))
+    cfg.train.arch = args.arch
+    if args.batch:
+        cfg.train.batch = args.batch
+    mode = "2d" if args.arch == "2d" else "hybrid"
+
+    if args.data:
+        ds = PreparedDataset(args.data)
+        sampler = CropSampler(
+            ds,
+            cfg.data,
+            mode=mode,
+            input_size=cfg.model.input_size,
+            input_cols=cfg.model.input_cols,
+            seed=cfg.train.seed,
+        )
+        batches = PrefetchIterator(
+            sampler.batches(cfg.train.batch), depth=cfg.data.prefetch_depth
+        )
+    else:
+        print("no --data given: using synthetic batches (smoke mode)")
+        batches = synthetic_batches(
+            mode=mode,
+            batch=cfg.train.batch,
+            input_size=cfg.model.input_size,
+            input_cols=cfg.model.input_cols,
+            seed=cfg.train.seed,
+        )
+
+    init_params = None
+    if args.init_from:
+        init_params = wconv.load_npz_checkpoint(args.init_from)
+    trainer.train(
+        cfg,
+        batches,
+        mesh=make_mesh(),
+        max_steps=args.max_steps,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        init_weights=init_params,
+    )
+
+
+def cmd_test(args):
+    from .core.config import Config
+    from .infer import predictor
+    from .train import checkpoint as ckpt_lib
+    from .train import trainer
+
+    cfg = _load_config(args.config, dict(args.set or []))
+    arch = args.arch
+    cfg.train.arch = arch
+    ts, _, _ = trainer.create_train_state(None, cfg, arch)
+    params, bn_state = ts.params, ts.bn_state
+    if args.weights:
+        if args.weights.endswith(".npz"):
+            from .weights import convert as wconv
+
+            raw = wconv.load_npz_checkpoint(args.weights)
+            params, bn_state, report = wconv.match_to_model(raw, params, bn_state)
+            print(
+                f"weights: {len(report['loaded'])} layers loaded, "
+                f"{len(report['skipped'])} skipped"
+            )
+        else:
+            ckpt = ckpt_lib.Checkpointer(args.weights)
+            restored = ckpt.restore_latest(ts)
+            if restored is None:
+                raise SystemExit(f"no checkpoint under {args.weights}")
+            params, bn_state = restored.params, restored.bn_state
+    predictor.predict_directory(
+        params,
+        bn_state,
+        cfg,
+        data_dir=args.data,
+        liver_mask_dir=args.livermask,
+        save_dir=args.save_path,
+        num_volumes=args.num_volumes,
+        arch=arch,
+    )
+
+
+def cmd_convert_weights(args):
+    from .weights import convert as wconv
+
+    keys = wconv.convert_checkpoint(args.src, args.dst, submodel=args.submodel)
+    print(f"converted {len(keys)} weight arrays -> {args.dst}")
+
+
+def cmd_evaluate(args):
+    from .data import nifti
+    from .infer import metrics
+
+    per_case = []
+    for i in range(args.num_volumes):
+        pred, _ = nifti.read(Path(args.pred) / f"test-segmentation-{i}.nii")
+        truth, _ = nifti.read(Path(args.truth) / f"segmentation-{i}.nii")
+        d = metrics.dice_per_class(np.asarray(pred), np.asarray(truth))
+        per_case.append(d)
+        print(f"volume {i}: liver {d['liver']:.4f} tumor {d['tumor']:.4f}")
+    mean = {
+        k: float(np.mean([c[k] for c in per_case])) for k in ("liver", "tumor")
+    }
+    print(f"mean per-case Dice: liver {mean['liver']:.4f} tumor {mean['tumor']:.4f}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="hdenseunet_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("preprocess", help="HU-clip volumes + extract coords/boxes")
+    sp.add_argument("--raw", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--num-volumes", type=int, default=None)
+    sp.add_argument("--no-seg", action="store_true")
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("synth-data", help="generate a synthetic smoke dataset")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--num-volumes", type=int, default=3)
+    sp.add_argument("--shape", default="96,96,48")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth_data)
+
+    sp = sub.add_parser("train", help="train a stage: 2d | 3dpart | end2end")
+    sp.add_argument("--arch", choices=["2d", "3dpart", "end2end"], default="2d")
+    sp.add_argument("--data", default=None, help="prepared dataset dir")
+    sp.add_argument("--config", default=None, help="Config JSON path")
+    sp.add_argument("--batch", type=int, default=None)
+    sp.add_argument("--max-steps", type=int, default=None)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--init-from", default=None, help="converted .npz weights")
+    sp.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VAL"),
+                    help="config override, e.g. --set model.preset tiny")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("test", help="segment test volumes")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--livermask", required=True)
+    sp.add_argument("--save-path", default="results")
+    sp.add_argument("--weights", default=None, help=".npz or checkpoint dir")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--arch", choices=["3dpart", "end2end"], default="end2end")
+    sp.add_argument("--num-volumes", type=int, default=None)
+    sp.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VAL"))
+    sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("convert-weights", help="Keras HDF5 -> npz pytree")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--submodel", default=None,
+                    choices=[None, "model_1", "denseu161", "auto3d_residual_conv"])
+    sp.set_defaults(fn=cmd_convert_weights)
+
+    sp = sub.add_parser("evaluate", help="Dice of predicted vs truth labelmaps")
+    sp.add_argument("--pred", required=True)
+    sp.add_argument("--truth", required=True)
+    sp.add_argument("--num-volumes", type=int, required=True)
+    sp.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

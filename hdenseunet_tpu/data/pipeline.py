@@ -1,0 +1,94 @@
+"""Host→device input pipeline: background prefetch + sharded device_put.
+
+TPU-native replacement for the reference's GeneratorEnqueuer
+(Keras-2.0.8/keras/utils/data_utils.py:530 — N worker processes pulling a
+shared Python generator into a bounded queue, wired with workers=3,
+max_queue_size=10 at train_2ddense.py:209-210). Differences by design:
+
+* one (or few) background *threads* producing numpy batches — the samplers
+  are numpy/cv2-bound and release the GIL in their hot calls, and JAX device
+  dispatch is asynchronous, so threads are enough to keep the TPU fed without
+  the reference's duplicate-data multiprocessing hazard
+  (training.py:1985-1990 warns about it; it never fixes it);
+* batches are placed directly into their final sharded layout
+  (``jax.device_put`` with a NamedSharding over the mesh 'data' axis), so the
+  train step never sees host arrays and host→HBM copies overlap compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+
+from ..core.mesh import batch_sharding
+
+
+class PrefetchIterator:
+    """Wrap a batch iterator with a bounded background-thread prefetch queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, source, depth: int = 4):
+        self.source = source
+        self.depth = depth
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: BaseException | None = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self.source:
+                if self._stop.is_set():
+                    return
+                self._q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the producer unblocks if it is waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def device_prefetch(batch_iterator, mesh, *, depth: int = 2):
+    """Yield batches already device_put onto the mesh (sharded over 'data').
+
+    Keeps ``depth`` batches in flight on device, the double-buffering pattern
+    that hides host→HBM transfer behind the previous step's compute.
+    """
+    sharding = batch_sharding(mesh)
+    buf = []
+    for batch in batch_iterator:
+        buf.append(
+            {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        )
+        if len(buf) >= depth:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)
+
+
+def input_pipeline(sampler, global_batch: int, mesh, *, host_depth=4, device_depth=2):
+    """sampler.batches() -> threaded host prefetch -> sharded device prefetch."""
+    host = PrefetchIterator(sampler.batches(global_batch), depth=host_depth)
+    return device_prefetch(host, mesh, depth=device_depth)

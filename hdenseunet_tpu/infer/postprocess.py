@@ -1,0 +1,73 @@
+"""Threshold + connected-component postprocessing (reference test.py:70-115).
+
+Host-side scipy.ndimage (skimage is absent from this image; ndimage.label +
+bincount replaces skimage.measure.label/regionprops and is faster — one pass
+instead of per-region property objects).
+
+Pipeline, matching the reference order exactly:
+1. threshold liver prob at ``thres_liver`` (0.5), tumor at ``thres_tumor``
+   (0.9); tumor pixels force liver=1 (test.py:73-77);
+2. keep the largest connected component of the *predicted* liver (test.py:84-91);
+3. dilate the external liver mask once more, keep ITS largest CC, fill holes
+   (test.py:94-104) — note the external mask was already dilated once at load
+   (test.py:60), so it is dilated twice in total;
+4. tumor := tumor AND external-mask-CC, fill holes (test.py:107-108);
+5. labelmap: largest-CC liver (holes filled) = 1, tumor = 2 (test.py:109-113).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def largest_component(mask: np.ndarray) -> np.ndarray:
+    """Boolean mask of the largest 26(or 8)-unconnected... default-connectivity
+    component (scipy default: orthogonal connectivity, same as skimage
+    measure.label default in the reference's skimage version)."""
+    labels, num = ndimage.label(mask)
+    if num == 0:
+        return np.zeros_like(mask, dtype=bool)
+    sizes = np.bincount(labels.ravel())
+    sizes[0] = 0
+    return labels == int(sizes.argmax())
+
+
+def fill_holes(mask: np.ndarray) -> np.ndarray:
+    return ndimage.binary_fill_holes(mask)
+
+
+def compose_labelmap(
+    liver_prob: np.ndarray,
+    tumor_prob: np.ndarray,
+    ext_liver_mask: np.ndarray,
+    *,
+    thres_liver: float = 0.5,
+    thres_tumor: float = 0.9,
+) -> np.ndarray:
+    """(liver prob, tumor prob, external mask) -> uint8 labelmap {0,1,2}."""
+    liver = liver_prob >= thres_liver
+    tumor = tumor_prob >= thres_tumor
+    liver |= tumor  # test.py:77
+
+    liver_cc = largest_component(liver)
+
+    ext = ndimage.binary_dilation(ext_liver_mask.astype(bool), iterations=1)
+    ext_cc = fill_holes(largest_component(ext))
+
+    tumor_final = fill_holes(tumor & ext_cc)
+
+    out = fill_holes(liver_cc).astype(np.uint8)
+    out[tumor_final] = 2
+    return out
+
+
+def liver_mask_extent(mask: np.ndarray):
+    """External mask -> (dilated mask, z_min, z_max) (reference test.py:58-63:
+    binarize label-2 into the mask, dilate once, take index extent)."""
+    m = mask.copy()
+    m[m == 2] = 1
+    m = ndimage.binary_dilation(m.astype(bool), iterations=1)
+    idx = np.argwhere(m)
+    if idx.size == 0:
+        return m, 0, mask.shape[2] - 1
+    return m, int(idx[:, 2].min()), int(idx[:, 2].max())

@@ -1,0 +1,96 @@
+"""End-to-end volume segmentation driver (reference test.py:39-115).
+
+Per test volume the reference rebuilds the whole model, reloads weights,
+recompiles, predicts window-by-window, then clears the TF session
+(test.py:48-51, :69). Here the model function is jit-compiled ONCE and reused
+across all volumes; only the (cheap) host accumulation is per-volume.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..core.config import Config
+from ..data import nifti
+from . import postprocess
+from .sliding_window import WindowPredictor
+
+
+class VolumePredictor:
+    """params + config -> callable volume segmenter."""
+
+    def __init__(self, params, bn_state, cfg: Config, *, arch: str = "end2end"):
+        self.cfg = cfg
+        self.windows = WindowPredictor(
+            params,
+            bn_state,
+            cfg.infer,
+            arch=arch,
+            preset=cfg.model.preset,
+            compute_dtype=cfg.model.compute_dtype,
+            num_classes=cfg.model.num_classes,
+        )
+
+    def segment(self, vol: np.ndarray, ext_liver_mask: np.ndarray) -> np.ndarray:
+        """(CT volume, external liver mask) -> uint8 labelmap {0 bg,1 liver,2 tumor}."""
+        icfg = self.cfg.infer
+        img = np.asarray(vol, np.float32) - icfg.mean  # test.py:55
+        mask, z_lo, z_hi = postprocess.liver_mask_extent(ext_liver_mask)
+        liver_prob, tumor_prob = self.windows.predict_volume(img, z_lo, z_hi)
+        return postprocess.compose_labelmap(
+            liver_prob,
+            tumor_prob,
+            mask,
+            thres_liver=icfg.thres_liver,
+            thres_tumor=icfg.thres_tumor,
+        )
+
+
+def predict_directory(
+    params,
+    bn_state,
+    cfg: Config,
+    *,
+    data_dir,
+    liver_mask_dir,
+    save_dir,
+    num_volumes: int | None = None,
+    arch: str = "end2end",
+    log=print,
+):
+    """Segment ``test-volume-{i}.nii`` files, write labelmaps, report timing.
+
+    Mirrors the reference CLI loop (test.py:44-115: volume ``{id}.nii`` +
+    external mask ``{id}-ori.nii`` -> ``test-segmentation-{id}.nii``).
+    """
+    data_dir = Path(data_dir)
+    mask_dir = Path(liver_mask_dir)
+    out_dir = Path(save_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    predictor = VolumePredictor(params, bn_state, cfg, arch=arch)
+
+    n = num_volumes if num_volumes is not None else cfg.data.num_test_volumes
+    times = []
+    for i in range(n):
+        vol, hdr = nifti.read(_find(data_dir, i))
+        mask, _ = nifti.read(_find(mask_dir, i, suffix="-ori"))
+        t0 = time.perf_counter()
+        labelmap = predictor.segment(vol, np.asarray(mask))
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        nifti.write(out_dir / f"test-segmentation-{i}.nii", labelmap, hdr)
+        log(f"volume {i}: {vol.shape} segmented in {dt:.2f}s")
+    if times:
+        log(f"mean {np.mean(times):.2f}s/volume over {len(times)} volumes")
+    return times
+
+
+def _find(root: Path, index: int, suffix: str = ""):
+    for stem in (f"test-volume-{index}{suffix}", f"{index}{suffix}"):
+        for ext in (".nii", ".nii.gz"):
+            p = root / (stem + ext)
+            if p.exists():
+                return p
+    raise FileNotFoundError(f"{root}/[test-volume-]{index}{suffix}.nii[.gz]")

@@ -1,0 +1,138 @@
+"""Batched z-axis sliding-window inference (reference lib/funcs.py:4-52).
+
+The reference walks the liver z-range in windows of ``input_cols`` (8) with
+stride ``input_cols/4`` (2), runs ``model.predict`` on ONE window at a time,
+then applies ``K.softmax`` + ``K.eval`` — building a brand-new TF op per
+window (funcs.py:31-32) — and averages overlapping windows on the host after
+dropping each window's two edge slices.
+
+TPU-native redesign:
+
+* ONE jitted function computes logits AND softmax AND edge-slice drop fused
+  on device, compiled once per shape — no per-window graph building, no
+  per-volume model rebuild (reference test.py:48-51 reconstructs the model
+  and reloads weights for every one of the 70 test volumes);
+* windows are *batched* (``window_batch`` per device call) so the 2D branch
+  inside the hybrid sees a (window_batch * 8)-image pseudo-batch — large,
+  static matmuls for the MXU instead of 8-image dribbles;
+* identical windows produced by the reference's end-of-range clamping are
+  computed once and accumulated with their multiplicity, preserving the
+  reference's exact averaging semantics;
+* accumulation is float32 numpy on host (score volumes are ~GB-scale for
+  512^2 x 700 CTs — they do not belong in 16 GB HBM alongside the model).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import InferConfig
+from ..core.module import Ctx
+from ..models import hybrid
+
+
+def window_starts(z: int, mini_z: int, maxi_z: int, cfg: InferConfig) -> list[int]:
+    """Window start offsets, replicating lib/funcs.py:19-28 exactly.
+
+    ``mini_z``/``maxi_z`` are the liver-mask z-extent; margins -5/+10 around
+    it (:19-20), stride = input_cols // 4 (:12), and starts past ``z - cols``
+    clamp to the final full window (:26-28).
+    """
+    cols = cfg.input_cols
+    stride = cfg.window_stride
+    right = int(min(z, maxi_z + cfg.liver_margin_hi) - cols)
+    left = max(0, min(mini_z - cfg.liver_margin_lo, right))
+    starts = []
+    for s in range(left, right + stride, stride):
+        starts.append(min(s, z - cols))
+    return starts
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "preset", "compute_dtype"))
+def _window_probs(params, bn_state, batch_vol, *, arch, preset, compute_dtype):
+    """(B, H, W, cols, 1) windows -> (B, H, W, cols-2, C) interior softmax."""
+    ctx = Ctx(params, bn_state, train=False, compute_dtype=jnp.dtype(compute_dtype))
+    logits = hybrid.apply(ctx, batch_vol.astype(jnp.dtype(compute_dtype)), arch=arch, preset=preset)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return probs[:, :, :, 1:-1, :]  # drop window-edge z slices (funcs.py:33)
+
+
+class WindowPredictor:
+    """Reusable jit-compiled window scorer for one (params, config) pair."""
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        cfg: InferConfig,
+        *,
+        arch: str = "end2end",
+        preset: str = "full",
+        compute_dtype: str = "float32",
+        num_classes: int = 3,
+    ):
+        self.params = params
+        self.bn_state = bn_state
+        self.cfg = cfg
+        self.arch = arch
+        self.preset = preset
+        self.compute_dtype = compute_dtype
+        self.num_classes = num_classes
+
+    def _score_batch(self, wins: np.ndarray) -> np.ndarray:
+        out = _window_probs(
+            self.params,
+            self.bn_state,
+            jnp.asarray(wins),
+            arch=self.arch,
+            preset=self.preset,
+            compute_dtype=self.compute_dtype,
+        )
+        return np.asarray(out)
+
+    def predict_volume(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """vol: (X, Y, Z) mean-subtracted CT -> (liver_prob, tumor_prob) (X,Y,Z).
+
+        Equivalent of predict_tumor_inwindow (lib/funcs.py:4-52) with batched
+        windows and multiplicity-preserving averaging.
+        """
+        cfg = self.cfg
+        x0, y0 = vol.shape[:2]
+        # models downsample 5x by 2: pad in-plane to a multiple of 32 (the
+        # reference instead assumes 512^2 inputs, test.py:27); padding is
+        # symmetric-free (at the high end) and cropped back off the scores.
+        pad_x = (-x0) % 32
+        pad_y = (-y0) % 32
+        if pad_x or pad_y:
+            vol = np.pad(vol, ((0, pad_x), (0, pad_y), (0, 0)), mode="edge")
+        x, y, z = vol.shape
+        cols = cfg.input_cols
+        assert z >= cols, f"volume depth {z} < window {cols}"
+        starts = window_starts(z, mini_z, maxi_z, cfg)
+        uniq = sorted(set(starts))
+        mult = {s: starts.count(s) for s in uniq}
+
+        score = np.zeros((x, y, z, self.num_classes), np.float32)
+        count = np.zeros((z,), np.float32)
+
+        wb = max(1, cfg.window_batch)
+        for i in range(0, len(uniq), wb):
+            chunk = uniq[i : i + wb]
+            wins = np.stack(
+                [vol[:, :, s : s + cols] for s in chunk]
+            )[..., None].astype(np.float32)
+            if len(chunk) < wb:  # pad to the static batch shape
+                pad = np.repeat(wins[-1:], wb - len(chunk), axis=0)
+                wins = np.concatenate([wins, pad], axis=0)
+            probs = self._score_batch(wins)
+            for j, s in enumerate(chunk):
+                m = mult[s]
+                score[:, :, s + 1 : s + cols - 1, :] += m * probs[j]
+                count[s + 1 : s + cols - 1] += m
+
+        score /= count[None, None, :, None] + 1e-4  # funcs.py:48
+        score = score[:x0, :y0]
+        return score[..., self.num_classes - 2], score[..., self.num_classes - 1]

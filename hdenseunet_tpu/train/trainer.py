@@ -197,6 +197,7 @@ def train(
     max_steps: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    init_weights: dict | None = None,
     log_fn=print,
 ):
     """Host training loop: prefetched host batches -> sharded device steps.
@@ -209,6 +210,21 @@ def train(
     arch = cfg.train.arch
     check_batch_divisible(cfg.train.batch, mesh)
     ts, tx, _ = create_train_state(None, cfg, arch)
+
+    if init_weights is not None:
+        # cross-stage warm start (reference: by-name/subgroup HDF5 loaders,
+        # topology.py:3107/:3171/:3250, run offline by weights/convert.py)
+        from ..weights.convert import match_to_model
+
+        params, bn_state, report = match_to_model(
+            init_weights, ts.params, ts.bn_state, strict_shapes=False
+        )
+        ts = ts._replace(params=params, bn_state=bn_state)
+        log_fn(
+            f"warm start: {len(report['loaded'])} layers loaded, "
+            f"{len(report['skipped'])} skipped, "
+            f"{len(report['mismatched'])} shape-mismatched"
+        )
 
     ckpt = None
     if checkpoint_dir is not None:

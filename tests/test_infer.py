@@ -1,0 +1,200 @@
+"""Inference subsystem tests: window grid, averaging semantics, postprocess,
+metrics, and the end-to-end volume path on the tiny hybrid."""
+import numpy as np
+import pytest
+
+import jax
+
+from hdenseunet_tpu.core.config import Config, InferConfig
+from hdenseunet_tpu.infer import metrics, postprocess
+from hdenseunet_tpu.infer.predictor import VolumePredictor
+from hdenseunet_tpu.infer.sliding_window import WindowPredictor, window_starts
+from hdenseunet_tpu.models import hybrid
+
+
+# ---------------------------------------------------------------------------
+# window grid (reference lib/funcs.py:19-28)
+# ---------------------------------------------------------------------------
+
+
+def _reference_starts(z, mini_z, maxi_z, cfg):
+    """Direct transcription of the reference loop for oracle comparison."""
+    cols, stride = cfg.input_cols, cfg.window_stride
+    right = int(min(z, maxi_z + 10) - cols)
+    left = max(0, min(mini_z - 5, right))
+    out = []
+    for c in range(left, right + stride, stride):
+        out.append(z - cols if c > z - cols else c)
+    return out
+
+
+@pytest.mark.parametrize(
+    "z,lo,hi", [(64, 10, 50), (40, 0, 39), (32, 20, 31), (100, 90, 99), (8, 0, 7)]
+)
+def test_window_starts_match_reference(z, lo, hi):
+    cfg = InferConfig()
+    assert window_starts(z, lo, hi, cfg) == _reference_starts(z, lo, hi, cfg)
+
+
+def test_window_starts_cover_liver_interior():
+    cfg = InferConfig()
+    starts = window_starts(80, 20, 60, cfg)
+    covered = set()
+    for s in starts:
+        covered.update(range(s + 1, s + cfg.input_cols - 1))
+    assert set(range(21, 60)) <= covered
+
+
+# ---------------------------------------------------------------------------
+# sliding-window averaging semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_hybrid():
+    params, bn_state = hybrid.init(
+        jax.random.key(0), input_size=32, input_cols=8, batch=1, preset="tiny"
+    )
+    return params, bn_state
+
+
+def _naive_reference_accumulate(predict_one, vol, starts, cols, num=3):
+    """Reference accumulation loop (funcs.py:24-48), one window at a time."""
+    x, y, z = vol.shape
+    score = np.zeros((x, y, z, num), np.float32)
+    score_num = np.zeros((x, y, z, num), np.int16)
+    for s in starts:
+        probs = predict_one(vol[:, :, s : s + cols])  # (x,y,cols-2,num)
+        score[:, :, s + 1 : s + cols - 1, :] += probs
+        score_num[:, :, s + 1 : s + cols - 1, :] += 1
+    score = score / (score_num + 1e-4)
+    return score[..., num - 2], score[..., num - 1]
+
+
+def test_batched_matches_naive_accumulation(tiny_hybrid):
+    """Batched multi-window scoring == the reference's one-window-at-a-time
+    loop, including duplicate clamped windows at the z boundary."""
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=3)
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0, 50, (32, 32, 20)).astype(np.float32)
+
+    wp = WindowPredictor(params, bn_state, cfg, preset="tiny")
+    liver_b, tumor_b = wp.predict_volume(vol, 2, 18)
+
+    def predict_one(window):
+        return wp._score_batch(window[None, ..., None].astype(np.float32))[0]
+
+    starts = window_starts(20, 2, 18, cfg)
+    liver_n, tumor_n = _naive_reference_accumulate(predict_one, vol, starts, 8)
+    np.testing.assert_allclose(liver_b, liver_n, atol=1e-5)
+    np.testing.assert_allclose(tumor_b, tumor_n, atol=1e-5)
+
+
+def test_window_probs_are_softmax(tiny_hybrid):
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=1)
+    wp = WindowPredictor(params, bn_state, cfg, preset="tiny")
+    win = np.random.default_rng(1).normal(0, 50, (1, 32, 32, 8, 1)).astype(np.float32)
+    probs = wp._score_batch(win)
+    assert probs.shape == (1, 32, 32, 6, 3)  # edge z-slices dropped
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# postprocess (reference test.py:70-115)
+# ---------------------------------------------------------------------------
+
+
+def test_largest_component():
+    m = np.zeros((10, 10, 4), bool)
+    m[0:2, 0:2] = True  # 16 voxels
+    m[5:9, 5:9] = True  # 64 voxels
+    cc = postprocess.largest_component(m)
+    assert cc.sum() == 64
+    assert not cc[0, 0, 0] and cc[6, 6, 0]
+    assert postprocess.largest_component(np.zeros((3, 3, 3), bool)).sum() == 0
+
+
+def test_compose_labelmap_semantics():
+    shape = (24, 24, 10)
+    liver_prob = np.zeros(shape, np.float32)
+    tumor_prob = np.zeros(shape, np.float32)
+    ext = np.zeros(shape, np.int16)
+    liver_prob[4:20, 4:20, 2:8] = 0.9  # big liver blob
+    liver_prob[0:2, 0:2, 0:2] = 0.8  # small spurious blob -> dropped by CC
+    tumor_prob[8:12, 8:12, 4:6] = 0.95  # tumor inside liver
+    tumor_prob[22:24, 22:24, 8:10] = 0.95  # tumor outside ext mask -> dropped
+    ext[3:21, 3:21, 1:9] = 1
+
+    out = postprocess.compose_labelmap(liver_prob, tumor_prob, ext)
+    assert out.dtype == np.uint8
+    assert out[10, 10, 5] == 2  # tumor kept
+    assert out[5, 5, 3] == 1  # liver kept
+    assert out[0, 0, 0] == 0  # spurious CC removed
+    assert out[23, 23, 9] == 0  # tumor outside external mask removed
+
+
+def test_tumor_forces_liver_label():
+    """test.py:77: liver |= tumor before CC."""
+    shape = (16, 16, 6)
+    liver_prob = np.zeros(shape, np.float32)
+    tumor_prob = np.zeros(shape, np.float32)
+    tumor_prob[4:12, 4:12, 1:5] = 1.0  # tumor with NO liver prediction
+    ext = np.ones(shape, np.int16)
+    out = postprocess.compose_labelmap(liver_prob, tumor_prob, ext)
+    assert (out[4:12, 4:12, 2:4] == 2).all()
+
+
+def test_liver_mask_extent():
+    m = np.zeros((8, 8, 12), np.int16)
+    m[2:5, 2:5, 3:7] = 2  # label-2 counts as liver (test.py:59)
+    _, lo, hi = postprocess.liver_mask_extent(m)
+    assert lo <= 3 and hi >= 6  # dilation can only widen
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def test_dice_basic():
+    a = np.zeros((4, 4), bool)
+    b = np.zeros((4, 4), bool)
+    a[:2] = True
+    b[1:3] = True
+    assert metrics.dice(a, b) == pytest.approx(0.5)
+    assert metrics.dice(np.zeros(3), np.zeros(3)) == 1.0
+
+
+def test_dice_per_class_lits_convention():
+    pred = np.zeros((6, 6), np.int16)
+    truth = np.zeros((6, 6), np.int16)
+    pred[1:5, 1:5] = 1
+    pred[2:4, 2:4] = 2
+    truth[1:5, 1:5] = 1
+    truth[2:4, 2:4] = 2
+    d = metrics.dice_per_class(pred, truth)
+    assert d["liver"] == 1.0 and d["tumor"] == 1.0  # liver includes tumor area
+
+
+# ---------------------------------------------------------------------------
+# end-to-end volume path
+# ---------------------------------------------------------------------------
+
+
+def test_volume_predictor_end_to_end(tiny_hybrid):
+    params, bn_state = tiny_hybrid
+    cfg = Config()
+    cfg.model.preset = "tiny"
+    cfg.infer.input_size = 32
+    cfg.infer.window_batch = 2
+    rng = np.random.default_rng(2)
+    vol = rng.normal(0, 60, (32, 32, 24)).astype(np.float32)
+    ext = np.zeros((32, 32, 24), np.int16)
+    ext[8:24, 8:24, 6:18] = 1
+    vp = VolumePredictor(params, bn_state, cfg, arch="end2end")
+    out = vp.segment(vol, ext)
+    assert out.shape == vol.shape
+    assert out.dtype == np.uint8
+    assert set(np.unique(out)) <= {0, 1, 2}
