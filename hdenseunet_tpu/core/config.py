@@ -81,6 +81,10 @@ class InferConfig:
     liver_margin_lo: int = 5  # z-range margins around the liver mask (funcs.py:19-20)
     liver_margin_hi: int = 10
     save_path: str = "results"
+    # run the whole sliding-window algorithm as one device-resident XLA
+    # program per volume (infer/device_pipeline.py) and fetch a thresholded
+    # uint8 mask; False = host-loop path (infer/sliding_window.py)
+    device_resident: bool = True
 
 
 @dataclasses.dataclass

@@ -1,0 +1,208 @@
+"""Fully device-resident full-volume inference (one jit per volume shape).
+
+The host-loop path (sliding_window.py) moves every window batch host→device
+and every probability block device→host. On real deployments that is already
+the long pole (PCIe/DCN); through a tunneled device it is catastrophic. This
+module keeps the ENTIRE reference inference algorithm (lib/funcs.py:4-52) on
+device:
+
+  volume (one h2d) → [fori_loop: gather window batch → hybrid forward →
+  softmax → edge-drop → weighted accumulate] → overlap-average →
+  threshold → packed uint8 labelmask (one d2h)  — or scalar stats only.
+
+Static shapes: volumes are z-padded to buckets (multiples of `z_bucket`) and
+the window-batch grid is padded with weight-0 windows, so one compiled
+program serves every volume in a bucket. The window math reproduces
+window_starts()/multiplicity averaging exactly (tested against the host path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.config import InferConfig
+from ..core.module import Ctx
+from ..models import hybrid
+from .sliding_window import window_starts
+
+Z_BUCKET = 64
+
+
+def plan_windows(z_pad: int, cfg: InferConfig) -> int:
+    """Max number of unique windows any volume in this z-bucket can need."""
+    # starts range over [0, z - cols] with stride `window_stride`
+    return (z_pad - cfg.input_cols) // cfg.window_stride + 1
+
+
+def make_grid(
+    vol_z: int, mini_z: int, maxi_z: int, cfg: InferConfig, wb: int, n_batches: int
+):
+    """(starts, weights) arrays of static shape (n_batches, wb).
+
+    Unique reference windows get their multiplicity as weight; padding slots
+    get weight 0 (their compute is masked out of the average).
+    """
+    starts_list = window_starts(vol_z, mini_z, maxi_z, cfg)
+    uniq = sorted(set(starts_list))
+    total = n_batches * wb
+    assert len(uniq) <= total, (len(uniq), total)
+    starts = np.zeros((total,), np.int32)
+    weights = np.zeros((total,), np.float32)
+    for i, s in enumerate(uniq):
+        starts[i] = s
+        weights[i] = starts_list.count(s)
+    return starts.reshape(n_batches, wb), weights.reshape(n_batches, wb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("arch", "preset", "compute_dtype", "num_classes", "cols"),
+)
+def _score_volume(
+    params,
+    bn_state,
+    vol,
+    starts,
+    weights,
+    *,
+    arch: str,
+    preset: str,
+    compute_dtype: str,
+    num_classes: int,
+    cols: int,
+):
+    """vol: (X, Y, Zpad) mean-subtracted; starts/weights: (n_batches, wb).
+
+    Returns (X, Y, Zpad, num_classes) overlap-averaged probabilities.
+    """
+    x, y, zp = vol.shape
+    n_batches, wb = starts.shape
+    dtype = jnp.dtype(compute_dtype)
+    vol = vol.astype(dtype)
+    inner = cols - 2  # window-edge z slices dropped (funcs.py:33)
+
+    score0 = jnp.zeros((x, y, zp, num_classes), jnp.float32)
+    count0 = jnp.zeros((zp,), jnp.float32)
+
+    def body(i, carry):
+        score, count = carry
+        s_i = starts[i]
+        w_i = weights[i]
+        wins = jax.vmap(
+            lambda s: lax.dynamic_slice(vol, (0, 0, s), (x, y, cols))
+        )(s_i)[..., None]
+        ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
+        logits = hybrid.apply(ctx, wins, arch=arch, preset=preset, num_classes=num_classes)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
+
+        def acc(j, carry2):
+            sc, cn = carry2
+            sj = s_i[j] + 1
+            pj = lax.dynamic_index_in_dim(probs, j, axis=0, keepdims=False)
+            blk = lax.dynamic_slice(sc, (0, 0, sj, 0), (x, y, inner, num_classes))
+            sc = lax.dynamic_update_slice(sc, blk + w_i[j] * pj, (0, 0, sj, 0))
+            cblk = lax.dynamic_slice(cn, (sj,), (inner,))
+            cn = lax.dynamic_update_slice(cn, cblk + w_i[j], (sj,))
+            return sc, cn
+
+        return lax.fori_loop(0, wb, acc, (score, count))
+
+    score, count = lax.fori_loop(0, n_batches, body, (score0, count0))
+    return score / (count[None, None, :, None] + 1e-4)  # funcs.py:48
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _pack_labels(score, thres_liver, thres_tumor, *, num_classes: int = 3):
+    """Threshold on device -> uint8 mask: bit0 liver, bit1 tumor (test.py:73-77)."""
+    liver = score[..., num_classes - 2] >= thres_liver
+    tumor = score[..., num_classes - 1] >= thres_tumor
+    return (liver | tumor).astype(jnp.uint8) + 2 * tumor.astype(jnp.uint8)
+
+
+@jax.jit
+def _summarize(score):
+    """Tiny scalar digest for benchmarks (no volume-sized d2h)."""
+    return jnp.stack(
+        [jnp.sum(score[..., 1]), jnp.sum(score[..., 2]), jnp.max(score[..., 2])]
+    )
+
+
+class DeviceVolumeScorer:
+    """Reusable compiled scorer; one program per (x, y, z-bucket)."""
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        cfg: InferConfig,
+        *,
+        arch: str = "end2end",
+        preset: str = "full",
+        compute_dtype: str = "float32",
+        num_classes: int = 3,
+        z_bucket: int = Z_BUCKET,
+    ):
+        self.params = params
+        self.bn_state = bn_state
+        self.cfg = cfg
+        self.arch = arch
+        self.preset = preset
+        self.compute_dtype = compute_dtype
+        self.num_classes = num_classes
+        self.z_bucket = z_bucket
+
+    def _bucketed(self, z: int) -> int:
+        need = max(z, self.cfg.input_cols)
+        return -(-need // self.z_bucket) * self.z_bucket
+
+    def score(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs."""
+        x0, y0, z = vol.shape
+        pad_x = (-x0) % 32
+        pad_y = (-y0) % 32
+        zp = self._bucketed(z)
+        vol_p = np.zeros((x0 + pad_x, y0 + pad_y, zp), np.float32)
+        vol_p[:x0, :y0, :z] = vol
+        wb = max(1, self.cfg.window_batch)
+        n_batches = -(-plan_windows(zp, self.cfg) // wb)
+        starts, weights = make_grid(z, mini_z, maxi_z, self.cfg, wb, n_batches)
+        # cast host-side so the wire carries the compute dtype (bf16 = half
+        # the bytes of f32 — matters on thin host links)
+        wire = vol_p.astype(jnp.dtype(self.compute_dtype))
+        score = _score_volume(
+            self.params,
+            self.bn_state,
+            jnp.asarray(wire),
+            jnp.asarray(starts),
+            jnp.asarray(weights),
+            arch=self.arch,
+            preset=self.preset,
+            compute_dtype=self.compute_dtype,
+            num_classes=self.num_classes,
+            cols=self.cfg.input_cols,
+        )
+        return score[:x0, :y0, :z]
+
+    def predict_volume(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """Host-compatible API: (liver_prob, tumor_prob) numpy arrays."""
+        score = np.asarray(self.score(vol, mini_z, maxi_z))
+        return score[..., self.num_classes - 2], score[..., self.num_classes - 1]
+
+    def labelmask(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """uint8 (X,Y,Z): bit0 = liver-or-tumor, bit1 = tumor. ONE small d2h."""
+        score = self.score(vol, mini_z, maxi_z)
+        packed = _pack_labels(
+            score,
+            jnp.float32(self.cfg.thres_liver),
+            jnp.float32(self.cfg.thres_tumor),
+            num_classes=self.num_classes,
+        )
+        return np.asarray(packed)
+
+    def summarize(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """Scalar digest only — for benchmarking through thin host links."""
+        return np.asarray(_summarize(self.score(vol, mini_z, maxi_z)))

@@ -48,7 +48,15 @@ def compose_labelmap(
     liver = liver_prob >= thres_liver
     tumor = tumor_prob >= thres_tumor
     liver |= tumor  # test.py:77
+    return compose_from_masks(liver, tumor, ext_liver_mask)
 
+
+def compose_from_masks(
+    liver: np.ndarray, tumor: np.ndarray, ext_liver_mask: np.ndarray
+) -> np.ndarray:
+    """Postprocess pre-thresholded masks (device-resident pipeline hands these
+    over as a packed uint8: bit0 = liver|tumor, bit1 = tumor)."""
+    liver = liver | tumor
     liver_cc = largest_component(liver)
 
     ext = ndimage.binary_dilation(ext_liver_mask.astype(bool), iterations=1)

@@ -21,23 +21,42 @@ from .sliding_window import WindowPredictor
 class VolumePredictor:
     """params + config -> callable volume segmenter."""
 
-    def __init__(self, params, bn_state, cfg: Config, *, arch: str = "end2end"):
+    def __init__(self, params, bn_state, cfg: Config, *, arch: str = "end2end", mesh=None):
         self.cfg = cfg
-        self.windows = WindowPredictor(
-            params,
-            bn_state,
-            cfg.infer,
-            arch=arch,
-            preset=cfg.model.preset,
-            compute_dtype=cfg.model.compute_dtype,
-            num_classes=cfg.model.num_classes,
-        )
+        if cfg.infer.device_resident:
+            from .device_pipeline import DeviceVolumeScorer
+
+            self.windows = DeviceVolumeScorer(
+                params,
+                bn_state,
+                cfg.infer,
+                arch=arch,
+                preset=cfg.model.preset,
+                compute_dtype=cfg.model.compute_dtype,
+                num_classes=cfg.model.num_classes,
+            )
+        else:
+            self.windows = WindowPredictor(
+                params,
+                bn_state,
+                cfg.infer,
+                arch=arch,
+                preset=cfg.model.preset,
+                compute_dtype=cfg.model.compute_dtype,
+                num_classes=cfg.model.num_classes,
+                mesh=mesh,
+            )
 
     def segment(self, vol: np.ndarray, ext_liver_mask: np.ndarray) -> np.ndarray:
         """(CT volume, external liver mask) -> uint8 labelmap {0 bg,1 liver,2 tumor}."""
         icfg = self.cfg.infer
         img = np.asarray(vol, np.float32) - icfg.mean  # test.py:55
         mask, z_lo, z_hi = postprocess.liver_mask_extent(ext_liver_mask)
+        if icfg.device_resident:
+            packed = self.windows.labelmask(img, z_lo, z_hi)
+            return postprocess.compose_from_masks(
+                packed >= 1, packed >= 3, mask
+            )
         liver_prob, tumor_prob = self.windows.predict_volume(img, z_lo, z_hi)
         return postprocess.compose_labelmap(
             liver_prob,

@@ -73,7 +73,12 @@ class WindowPredictor:
         preset: str = "full",
         compute_dtype: str = "float32",
         num_classes: int = 3,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — window batches are sharded
+        over its 'data' axis so each chip scores a slab of windows per device
+        step (multi-chip window parallelism; make window_batch a multiple of
+        the axis size)."""
         self.params = params
         self.bn_state = bn_state
         self.cfg = cfg
@@ -81,12 +86,22 @@ class WindowPredictor:
         self.preset = preset
         self.compute_dtype = compute_dtype
         self.num_classes = num_classes
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..core.mesh import batch_sharding, replicate
+
+            self._batch_sharding = batch_sharding(mesh)
+            self.params = replicate(mesh, params)
+            self.bn_state = replicate(mesh, bn_state)
 
     def _score_batch(self, wins: np.ndarray) -> np.ndarray:
+        wins = jnp.asarray(wins)
+        if self._batch_sharding is not None:
+            wins = jax.device_put(wins, self._batch_sharding)
         out = _window_probs(
             self.params,
             self.bn_state,
-            jnp.asarray(wins),
+            wins,
             arch=self.arch,
             preset=self.preset,
             compute_dtype=self.compute_dtype,

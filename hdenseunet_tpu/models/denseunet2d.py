@@ -48,14 +48,14 @@ def _conv_block(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
     (reference densenet.py:103-137)."""
     base = f"conv{stage}_{branch}"
     inter = growth * 4
-    x = L.batch_norm(ctx, x, base + "_x1_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, base + "_x1_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, base + "_x1_bn", base + "_x1_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     x = L.conv2d(ctx, x, base + "_x1", inter, 1, padding="valid", use_bias=False)
     x = L.dropout(ctx, x, dropout_rate)
-    x = L.batch_norm(ctx, x, base + "_x2_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, base + "_x2_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, base + "_x2_bn", base + "_x2_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     x = L.conv2d(ctx, x, base + "_x2", growth, 3, padding=1, use_bias=False)
     x = L.dropout(ctx, x, dropout_rate)
     return x
@@ -74,9 +74,9 @@ def _dense_block(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropout
 def _transition(ctx, x, stage, nb_filter, compression, *, frozen, dropout_rate=0.0):
     """BN-Scale-ReLU-Conv1x1(compressed)-AvgPool2 (reference densenet.py:140-166)."""
     base = f"conv{stage}_blk"
-    x = L.batch_norm(ctx, x, base + "_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, base + "_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, base + "_bn", base + "_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     x = L.conv2d(
         ctx, x, base, int(nb_filter * compression), 1, padding="valid", use_bias=False
     )
@@ -99,9 +99,9 @@ def encoder(
     compression = 1.0 - reduction
     box = []
     x = L.conv2d(ctx, x, "conv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
-    x = L.batch_norm(ctx, x, "conv1_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, "conv1_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, "conv1_bn", "conv1_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     box.append(x)
     x = L.max_pool(x, 3, 2, pad=1)
 
@@ -122,9 +122,9 @@ def encoder(
         ctx, x, final_stage, blocks[-1], nb_filter, growth,
         frozen=frozen, dropout_rate=dropout_rate,
     )
-    x = L.batch_norm(ctx, x, f"conv{final_stage}_blk_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, f"conv{final_stage}_blk_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, f"conv{final_stage}_blk_bn", f"conv{final_stage}_blk_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     box.append(x)
     return x, box
 

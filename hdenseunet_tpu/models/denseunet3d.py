@@ -37,14 +37,14 @@ def _conv_block3d(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
     """Reference denseunet3d.py:18-52."""
     base = f"3dconv{stage}_{branch}"
     inter = growth * 4
-    x = L.batch_norm(ctx, x, base + "_x1_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, base + "_x1_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, base + "_x1_bn", base + "_x1_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     x = L.conv3d(ctx, x, base + "_x1", inter, 1, padding="valid", use_bias=False)
     x = L.dropout(ctx, x, dropout_rate)
-    x = L.batch_norm(ctx, x, base + "_x2_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, base + "_x2_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, base + "_x2_bn", base + "_x2_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     x = L.conv3d(ctx, x, base + "_x2", growth, 3, padding=1, use_bias=False)
     x = L.dropout(ctx, x, dropout_rate)
     return x
@@ -63,9 +63,9 @@ def _dense_block3d(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropo
 def _transition3d(ctx, x, stage, nb_filter, compression, *, frozen, dropout_rate=0.0):
     """Reference denseunet3d.py:78-104 — z-preserving (2,2,1) average pool."""
     base = f"3dconv{stage}_blk"
-    x = L.batch_norm(ctx, x, base + "_bn", eps=EPS_ENCODER, frozen=frozen)
-    x = L.scale(ctx, x, base + "_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, base + "_bn", base + "_scale", eps=EPS_ENCODER, frozen=frozen
+    )
     x = L.conv3d(
         ctx, x, base, int(nb_filter * compression), 1, padding="valid", use_bias=False
     )
@@ -103,9 +103,9 @@ def apply(
     compression = 1.0 - reduction
 
     x = L.conv3d(ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
-    x = L.batch_norm(ctx, x, "3dconv1_bn", eps=EPS_ENCODER, frozen=bn_frozen)
-    x = L.scale(ctx, x, "3dconv1_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, "3dconv1_bn", "3dconv1_scale", eps=EPS_ENCODER, frozen=bn_frozen
+    )
     x = L.max_pool(x, 3, 2, pad=1)
 
     nb_filter = INITIAL_FILTERS
@@ -124,9 +124,9 @@ def apply(
         ctx, x, final_stage, blocks[-1], nb_filter, growth,
         frozen=bn_frozen, dropout_rate=block_dropout,
     )
-    x = L.batch_norm(ctx, x, f"3dconv{final_stage}_blk_bn", eps=EPS_ENCODER, frozen=bn_frozen)
-    x = L.scale(ctx, x, f"3dconv{final_stage}_blk_scale")
-    x = L.relu(x)
+    x = L.bn_scale_relu(
+        ctx, x, f"3dconv{final_stage}_blk_bn", f"3dconv{final_stage}_blk_scale", eps=EPS_ENCODER, frozen=bn_frozen
+    )
 
     w0, w1, w2, w3, w4 = decoder_widths
     d = _up_stage3d(ctx, x, 0, w0, (2, 2, 1), frozen=bn_frozen)

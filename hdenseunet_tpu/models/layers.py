@@ -145,9 +145,9 @@ def batch_norm(
     mov_mean = ctx.stat(name, "moving_mean", (c,), 0.0)
     mov_var = ctx.stat(name, "moving_variance", (c,), 1.0)
 
-    xf = x.astype(jnp.float32)
     if ctx.train and not frozen:
         axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axes)
         var = jnp.var(xf, axes)  # biased, like tf.nn.moments
         ctx.put_stat(name, "moving_mean", momentum * mov_mean + (1.0 - momentum) * mean)
@@ -157,9 +157,51 @@ def batch_norm(
     else:
         mean, var = mov_mean, mov_var
 
+    # Per-channel affine folded in float32, applied in the tensor's own dtype:
+    # keeps the elementwise chain single-width in bfloat16 mode (upcasting the
+    # whole tensor to f32 would double HBM traffic through the BN->Scale->ReLU
+    # chain in front of every conv).
     inv = lax.rsqrt(var + eps) * gamma
-    y = xf * inv + (beta - mean * inv)
-    return y.astype(x.dtype)
+    shift = beta - mean * inv
+    return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def bn_scale_relu(
+    ctx: Ctx,
+    x,
+    bn_name: str,
+    scale_name: str,
+    *,
+    eps: float = 1e-3,
+    momentum: float = 0.99,
+    frozen: bool = False,
+    relu_after: bool = True,
+):
+    """BN -> Scale -> [ReLU], the chain in front of every encoder conv
+    (reference densenet.py:109-136, denseunet3d.py:40-47).
+
+    When the BN statistics path is frozen/inference, both affines fold into a
+    single per-channel (A, B) pair applied in ONE fused pass
+    (ops.fused_affine — Pallas on TPU). In training mode with live stats the
+    three ops run separately so the batch-statistics update semantics are
+    untouched.
+    """
+    if ctx.train and not frozen:
+        y = batch_norm(ctx, x, bn_name, eps=eps, momentum=momentum, frozen=False)
+        y = scale(ctx, y, scale_name)
+        return relu(y) if relu_after else y
+
+    from ..ops.fused_affine import affine_relu, fold_bn_scale
+
+    c = int(x.shape[-1])
+    gamma_bn = ctx.param(bn_name, "gamma", (c,), "ones")
+    beta_bn = ctx.param(bn_name, "beta", (c,), "zeros")
+    mean = ctx.stat(bn_name, "moving_mean", (c,), 0.0)
+    var = ctx.stat(bn_name, "moving_variance", (c,), 1.0)
+    gamma_s = ctx.param(scale_name, "gamma", (c,), "ones")
+    beta_s = ctx.param(scale_name, "beta", (c,), "zeros")
+    a, b = fold_bn_scale(gamma_bn, beta_bn, mean, var, gamma_s, beta_s, eps)
+    return affine_relu(x, a, b, relu=relu_after)
 
 
 def scale(ctx: Ctx, x, name: str):

@@ -1,0 +1,82 @@
+"""Fused per-channel affine (+ReLU): one VMEM pass for BN∘Scale[∘ReLU].
+
+At inference every BatchNormalization in this model uses frozen statistics,
+so BN is an affine y = x*a1 + b1; the reference's Caffe-style checkpoints pair
+it with a separate Scale affine y = x*a2 + b2 (lib/custom_layers.py), and a
+ReLU follows (densenet.py:109-136 conv blocks). Algebraically that is ONE
+per-channel affine + clamp:
+
+    relu((x*a1 + b1)*a2 + b2)  ==  relu(x*A + B),  A = a1*a2, B = b1*a2 + b2
+
+The Pallas kernel streams x through VMEM once, reading the folded (A, B)
+vectors from VMEM, instead of trusting XLA to fuse the 5-op chain across the
+BN/Scale/ReLU layer boundaries. Channels-last layout: the channel axis is the
+TPU lane dimension, so per-channel vectors broadcast across sublanes for free.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import use_pallas
+
+_TILE_ROWS = 512
+
+
+def _kernel(x_ref, scale_ref, shift_ref, out_ref, *, relu: bool):
+    y = x_ref[:] * scale_ref[:] + shift_ref[:]
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), y.dtype))
+    out_ref[:] = y
+
+
+def _affine_relu_pallas(x2, scale, shift, *, relu: bool, interpret: bool = False):
+    """x2: (N, C); scale/shift: (1, C) broadcast across rows."""
+    n, c = x2.shape
+    tile = min(_TILE_ROWS, n)
+    grid = (pl.cdiv(n, tile),)
+    return pl.pallas_call(
+        functools.partial(_kernel, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((n, c), x2.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, scale, shift)
+
+
+def affine_relu(x, scale, shift, *, relu: bool = True, interpret: bool = False):
+    """relu(x * scale + shift) with per-channel (last-axis) scale/shift.
+
+    x: (..., C); scale/shift: (C,). Dispatches Pallas on TPU, XLA elsewhere.
+    """
+    scale = scale.astype(x.dtype)
+    shift = shift.astype(x.dtype)
+    if not (use_pallas() or interpret):
+        y = x * scale + shift
+        return jnp.maximum(y, 0) if relu else y
+    c = x.shape[-1]
+    orig_shape = x.shape
+    x2 = x.reshape(-1, c)
+    out = _affine_relu_pallas(
+        x2, scale.reshape(1, c), shift.reshape(1, c), relu=relu, interpret=interpret
+    )
+    return out.reshape(orig_shape)
+
+
+def fold_bn_scale(gamma_bn, beta_bn, mean, var, gamma_s, beta_s, eps):
+    """Fold frozen-BN + Scale into one per-channel (A, B) pair (float32)."""
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps) * gamma_bn.astype(jnp.float32)
+    a1 = inv
+    b1 = beta_bn.astype(jnp.float32) - mean.astype(jnp.float32) * inv
+    a = a1 * gamma_s.astype(jnp.float32)
+    b = b1 * gamma_s.astype(jnp.float32) + beta_s.astype(jnp.float32)
+    return a, b

@@ -1,0 +1,25 @@
+"""Parallelism utilities over jax.sharding.Mesh.
+
+Thin, named-axis layer the rest of the framework builds on (SURVEY.md §2c):
+
+* data parallelism: batch sharded over the 'data' ICI axis, parameters
+  replicated, gradient psum inserted by XLA from sharding annotations —
+  replacing the reference's in-graph GPU tower replication
+  (Keras-2.0.8/keras/utils2/multi_gpu.py);
+* inference window parallelism (the reference's z-axis analog of sequence
+  parallelism): batches of sliding windows sharded over the same axis, each
+  chip scoring a slab of windows per device step (lib/funcs.py walked them
+  one at a time on one GPU).
+
+DCN-ready: meshes with more axes can be passed anywhere a mesh is taken;
+only the 'data' axis name is load-bearing.
+"""
+from ..core.mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    check_batch_divisible,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

@@ -33,15 +33,17 @@ def weighted_crossentropy_2d(logits, labels, weights=DEFAULT_CLASS_WEIGHTS):
     """2D-stage loss (reference loss.py:27-46 weighted_crossentropy_2ddense).
 
     logits: (B, H, W, C) float; labels: (B, H, W) or (B, H, W, 1) int.
+    Dispatches to the fused Pallas reduction (ops.wce) on TPU.
     """
+    from ..ops.wce import weighted_ce
+
     if labels.ndim == logits.ndim:
         labels = labels[..., 0]
-    labels = labels.astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    logp = jnp.maximum(logp, _LOG_CLIP)
-    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(weights, jnp.float32)[labels]
-    return -jnp.mean(w * picked)
+    c = logits.shape[-1]
+    flat_logits = logits.reshape(-1, c)
+    flat_labels = labels.reshape(-1).astype(jnp.int32)
+    mask = jnp.ones(flat_labels.shape, jnp.float32)
+    return weighted_ce(flat_logits, flat_labels, mask, tuple(weights))
 
 
 def weighted_crossentropy_hybrid(logits, labels, weights=DEFAULT_CLASS_WEIGHTS):
@@ -49,17 +51,18 @@ def weighted_crossentropy_hybrid(logits, labels, weights=DEFAULT_CLASS_WEIGHTS):
 
     logits: (B, H, W, D, C); labels: (B, H, W, D) or (B, H, W, D, 1) int.
     """
+    from ..ops.wce import weighted_ce
+
     if labels.ndim == logits.ndim:
         labels = labels[..., 0]
-    labels = labels.astype(jnp.int32)
     d = logits.shape[3]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    logp = jnp.maximum(logp, _LOG_CLIP)
-    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(weights, jnp.float32)[labels]
+    c = logits.shape[-1]
     z = jnp.arange(d)
-    mask = ((z >= 1) & (z < d - 1)).astype(jnp.float32)  # loss.py:6-7 for d=8
-    mask = mask[None, None, None, :]
-    total = jnp.sum(w * picked * mask)
-    count = jnp.sum(jnp.broadcast_to(mask, picked.shape))
-    return -total / count
+    zmask = ((z >= 1) & (z < d - 1)).astype(jnp.float32)  # loss.py:6-7 for d=8
+    mask = jnp.broadcast_to(zmask[None, None, None, :], labels.shape)
+    return weighted_ce(
+        logits.reshape(-1, c),
+        labels.reshape(-1).astype(jnp.int32),
+        mask.reshape(-1),
+        tuple(weights),
+    )

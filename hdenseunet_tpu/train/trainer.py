@@ -240,6 +240,9 @@ def train(
     slices = cfg.model.input_cols if arch != "2d" else 1
     metrics = MetricsLogger(cfg.train.save_path, slices_per_sample=slices)
 
+    from ..utils.guards import NaNGuard
+
+    nan_guard = NaNGuard()
     steps_per_epoch = cfg.train.resolved_steps_per_epoch()
     total = max_steps if max_steps is not None else steps_per_epoch * cfg.train.epochs
     pending: list = []  # device loss scalars; drained at the log cadence so the
@@ -256,8 +259,7 @@ def train(
         if step % cfg.train.log_every_steps == 0 or step == total or step % steps_per_epoch == 0:
             for val in pending:
                 v = float(val)
-                if not np.isfinite(v):
-                    raise FloatingPointError(f"non-finite loss near step {step}: {v}")
+                nan_guard.check(v, step)
                 metrics.log_step(v, cfg.train.batch)
             pending.clear()
         if step % steps_per_epoch == 0:

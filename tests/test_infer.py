@@ -198,3 +198,82 @@ def test_volume_predictor_end_to_end(tiny_hybrid):
     assert out.shape == vol.shape
     assert out.dtype == np.uint8
     assert set(np.unique(out)) <= {0, 1, 2}
+
+
+def test_window_predictor_sharded_over_mesh(tiny_hybrid):
+    """Window batches sharded over an 8-device mesh give the same scores as
+    single-device execution (multi-chip window parallelism)."""
+    from hdenseunet_tpu.parallel import make_mesh
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=8)
+    rng = np.random.default_rng(3)
+    vol = np.random.default_rng(3).normal(0, 50, (32, 32, 28)).astype(np.float32)
+
+    single = WindowPredictor(params, bn_state, cfg, preset="tiny")
+    sharded = WindowPredictor(params, bn_state, cfg, preset="tiny", mesh=make_mesh())
+    l1, t1 = single.predict_volume(vol, 2, 26)
+    l2, t2 = sharded.predict_volume(vol, 2, 26)
+    np.testing.assert_allclose(l1, l2, atol=1e-5)
+    np.testing.assert_allclose(t1, t2, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# device-resident pipeline (infer/device_pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def test_device_pipeline_matches_host_path(tiny_hybrid):
+    """One-jit device-resident scoring == the host-loop path exactly."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=3)
+    vol = np.random.default_rng(5).normal(0, 50, (32, 32, 21)).astype(np.float32)
+
+    host = WindowPredictor(params, bn_state, cfg, preset="tiny")
+    dev = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=16)
+    l1, t1 = host.predict_volume(vol, 3, 19)
+    l2, t2 = dev.predict_volume(vol, 3, 19)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    np.testing.assert_allclose(t1, t2, atol=1e-6)
+
+
+def test_device_pipeline_packed_mask_semantics(tiny_hybrid):
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(
+        input_size=32, input_cols=8, window_batch=2,
+        thres_liver=0.2, thres_tumor=0.3,  # low thresholds so bits fire
+    )
+    dev = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=16)
+    vol = np.random.default_rng(6).normal(0, 50, (32, 32, 16)).astype(np.float32)
+    packed = dev.labelmask(vol, 1, 14)
+    liver_p, tumor_p = dev.predict_volume(vol, 1, 14)
+    np.testing.assert_array_equal(packed >= 1, (liver_p >= 0.2) | (tumor_p >= 0.3))
+    np.testing.assert_array_equal(packed >= 3, tumor_p >= 0.3)
+
+
+def test_volume_predictor_device_mode_matches_host_mode(tiny_hybrid):
+    params, bn_state = tiny_hybrid
+    base = Config()
+    base.model.preset = "tiny"
+    base.infer.window_batch = 2
+    vol = np.random.default_rng(7).normal(0, 60, (32, 32, 24)).astype(np.float32)
+    ext = np.zeros((32, 32, 24), np.int16)
+    ext[8:24, 8:24, 6:18] = 1
+
+    import dataclasses
+
+    cfg_host = Config(
+        model=base.model, train=base.train, data=base.data,
+        infer=dataclasses.replace(base.infer, device_resident=False),
+    )
+    cfg_dev = Config(
+        model=base.model, train=base.train, data=base.data,
+        infer=dataclasses.replace(base.infer, device_resident=True),
+    )
+    out_host = VolumePredictor(params, bn_state, cfg_host).segment(vol, ext)
+    out_dev = VolumePredictor(params, bn_state, cfg_dev).segment(vol, ext)
+    np.testing.assert_array_equal(out_host, out_dev)
