@@ -60,6 +60,7 @@ class Ctx:
         rng=None,
         compute_dtype=jnp.float32,
         param_dtype=jnp.float32,
+        remat: bool = False,
     ):
         self.params = params if params is not None else {}
         self.state = state if state is not None else {}
@@ -69,6 +70,9 @@ class Ctx:
         self._rng_count = 0
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
+        # rematerialize checkpoint-wrapped blocks during backward (set by the
+        # trainer from TrainConfig.remat; no-op outside grad transforms)
+        self.remat = remat
         self.param_specs: dict[str, dict[str, ParamSpec]] = {}
         self.state_specs: dict[str, dict[str, tuple]] = {}
         self.new_state: dict[str, dict[str, jnp.ndarray]] = {}
@@ -138,6 +142,47 @@ def init(
         for leaf, (shape, fill) in sorted(ctx.state_specs[name].items()):
             state.setdefault(name, {})[leaf] = jnp.full(shape, fill, jnp.float32)
     return params, state
+
+
+def maybe_remat(ctx: "Ctx", fn: Callable, x):
+    """Apply ``fn(ctx, x)`` under jax.checkpoint when ctx.remat is set.
+
+    The TPU-memory lever for DenseNet training: dense blocks concatenate
+    features layer over layer, so saving every conv-block activation for the
+    backward pass dominates HBM; rematerializing each block trades ~1 extra
+    forward for O(depth) less live memory (SURVEY.md §7: jax.checkpoint /
+    rematerialisation to trade FLOPs for memory). Closed-over parameters are
+    residuals, not recomputed. BN-statistics updates produced inside the
+    block are threaded through the checkpoint boundary as explicit outputs
+    (side-channel writes would leak tracers) and merged back into the parent
+    Ctx; dropout inside the block draws from a PRNG key folded off the
+    parent stream so remat on/off keeps identical randomness structure.
+    """
+    if not ctx.remat or ctx.record:
+        return fn(ctx, x)
+
+    base_rng = None
+    if ctx.rng is not None:
+        ctx._rng_count += 1
+        base_rng = jax.random.fold_in(ctx.rng, ctx._rng_count)
+
+    def inner(x):
+        sub = Ctx(
+            ctx.params,
+            ctx.state,
+            train=ctx.train,
+            rng=base_rng,
+            compute_dtype=ctx.compute_dtype,
+            param_dtype=ctx.param_dtype,
+            remat=False,
+        )
+        y = fn(sub, x)
+        return y, sub.new_state
+
+    y, new_state = jax.checkpoint(inner)(x)
+    for name, leaves in new_state.items():
+        ctx.new_state.setdefault(name, {}).update(leaves)
+    return y
 
 
 def merge_state(state, new_state):

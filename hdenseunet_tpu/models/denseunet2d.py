@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.module import Ctx, init as module_init
+from ..core.module import Ctx, init as module_init, maybe_remat
 from . import layers as L
 
 EPS_ENCODER = 1.1e-5  # reference densenet.py:25
@@ -62,10 +62,20 @@ def _conv_block(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
 
 
 def _dense_block(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropout_rate=0.0):
-    """Iteratively concat conv_block outputs (reference densenet.py:169-193)."""
+    """Iteratively concat conv_block outputs (reference densenet.py:169-193).
+
+    Each conv_block is rematerialization-wrapped (core.module.maybe_remat):
+    dense blocks are where training activation memory concentrates."""
     feat = x
     for i in range(nb_layers):
-        out = _conv_block(ctx, feat, stage, i + 1, growth, frozen=frozen, dropout_rate=dropout_rate)
+        branch = i + 1
+        out = maybe_remat(
+            ctx,
+            lambda c, f, b=branch: _conv_block(
+                c, f, stage, b, growth, frozen=frozen, dropout_rate=dropout_rate
+            ),
+            feat,
+        )
         feat = jnp.concatenate([feat, out], axis=-1)
         nb_filter += growth
     return feat, nb_filter

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.module import Ctx, init as module_init
+from ..core.module import Ctx, init as module_init, maybe_remat
 from . import layers as L
 
 EPS_ENCODER = 1.1e-5  # reference denseunet3d.py:28
@@ -51,10 +51,17 @@ def _conv_block3d(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
 
 
 def _dense_block3d(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropout_rate=0.0):
-    """Reference denseunet3d.py:53-77."""
+    """Reference denseunet3d.py:53-77. Blocks remat-wrapped like the 2D path."""
     feat = x
     for i in range(nb_layers):
-        out = _conv_block3d(ctx, feat, stage, i + 1, growth, frozen=frozen, dropout_rate=dropout_rate)
+        branch = i + 1
+        out = maybe_remat(
+            ctx,
+            lambda c, f, b=branch: _conv_block3d(
+                c, f, stage, b, growth, frozen=frozen, dropout_rate=dropout_rate
+            ),
+            feat,
+        )
         feat = jnp.concatenate([feat, out], axis=-1)
         nb_filter += growth
     return feat, nb_filter

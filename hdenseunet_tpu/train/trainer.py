@@ -74,7 +74,14 @@ def create_train_state(rng, cfg: Config, arch: str | None = None):
 
 def _forward_loss(params, bn_state, batch, rng, *, arch, cfg: Config, train=True):
     dtype = jnp.dtype(cfg.model.compute_dtype)
-    ctx = Ctx(params, bn_state, train=train, rng=rng, compute_dtype=dtype)
+    ctx = Ctx(
+        params,
+        bn_state,
+        train=train,
+        rng=rng,
+        compute_dtype=dtype,
+        remat=cfg.train.remat and train,
+    )
     image = batch["image"].astype(dtype)
     if arch == "2d":
         _, logits = denseunet2d.apply(

@@ -277,3 +277,26 @@ def test_volume_predictor_device_mode_matches_host_mode(tiny_hybrid):
     out_host = VolumePredictor(params, bn_state, cfg_host).segment(vol, ext)
     out_dev = VolumePredictor(params, bn_state, cfg_dev).segment(vol, ext)
     np.testing.assert_array_equal(out_host, out_dev)
+
+
+def test_tiled_scorer_covers_all_voxels_and_is_probability(tiny_hybrid):
+    """TPU equivalent of the reference's x/y/z-tiled variant
+    (lib/funcs.py:54-129): every voxel covered, averaged probs sum to 1."""
+    from hdenseunet_tpu.infer.device_pipeline import TiledVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=2)
+    ts = TiledVolumeScorer(params, bn_state, cfg, tile=32, preset="tiny")
+    vol = np.random.default_rng(8).normal(0, 50, (48, 40, 14)).astype(np.float32)
+    score = np.asarray(ts.score(vol))
+    assert score.shape == vol.shape + (3,)
+    np.testing.assert_allclose(score.sum(-1), 1.0, atol=1e-4)
+
+
+def test_tile_origins_clamped_and_deduped():
+    from hdenseunet_tpu.infer.device_pipeline import tile_origins
+
+    assert tile_origins(96, 64, 42) == [0, 32]
+    assert tile_origins(64, 64, 42) == [0]
+    out = tile_origins(200, 64, 42)
+    assert out[-1] == 136 and out == sorted(set(out))
