@@ -46,7 +46,7 @@ def main():
 
     cfg = InferConfig(
         input_size=size,
-        window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "2")),
+        window_batch=int(os.environ.get("BENCH_WINDOW_BATCH", "8")),
     )
 
     params, bn_state = hybrid.init(

@@ -150,6 +150,7 @@ def cmd_test(args):
         save_dir=args.save_path,
         num_volumes=args.num_volumes,
         arch=arch,
+        tiled=args.tiled,
     )
 
 
@@ -216,6 +217,9 @@ def build_parser():
     sp.add_argument("--config", default=None)
     sp.add_argument("--arch", choices=["3dpart", "end2end"], default="end2end")
     sp.add_argument("--num-volumes", type=int, default=None)
+    sp.add_argument("--tiled", type=int, default=None, metavar="TILE",
+                    help="x/y/z-tiled inference with TILE^2 in-plane windows "
+                         "(reference predict_window_mulgpu equivalent)")
     sp.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VAL"))
     sp.set_defaults(fn=cmd_test)
 

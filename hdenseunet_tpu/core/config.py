@@ -74,7 +74,9 @@ class InferConfig:
     input_size: int = 512
     input_cols: int = 8
     window_stride: int = 2  # input_cols // 4 (lib/funcs.py:12)
-    window_batch: int = 4  # windows evaluated per device step (reference: 1)
+    window_batch: int = 8  # windows evaluated per device step (reference: 1);
+    # 8 measured fastest on v5e (13.7 s/volume vs 23.8 at 4): the 2D branch
+    # sees a 64-image MXU batch per step
     thres_liver: float = 0.5  # test.py:34
     thres_tumor: float = 0.9  # test.py:35
     mean: float = 48.0

@@ -305,7 +305,7 @@ class TiledVolumeScorer:
         compute_dtype: str = "float32",
         num_classes: int = 3,
     ):
-        assert tile % 32 == 0, tile
+        assert tile % 32 == 0, f"tile must be divisible by 32 (got {tile})"
         self.params = params
         self.bn_state = bn_state
         self.cfg = cfg

@@ -67,6 +67,40 @@ class VolumePredictor:
         )
 
 
+class TiledPredictor:
+    """Volume segmenter over the x/y/z-tiled scorer (reference
+    predict_window_mulgpu analog) — for in-plane extents too large for
+    full-frame windows. Same postprocess as VolumePredictor."""
+
+    def __init__(self, params, bn_state, cfg: Config, *, tile: int, arch: str = "end2end"):
+        from .device_pipeline import TiledVolumeScorer
+
+        self.cfg = cfg
+        self.scorer = TiledVolumeScorer(
+            params,
+            bn_state,
+            cfg.infer,
+            tile=tile,
+            arch=arch,
+            preset=cfg.model.preset,
+            compute_dtype=cfg.model.compute_dtype,
+            num_classes=cfg.model.num_classes,
+        )
+
+    def segment(self, vol: np.ndarray, ext_liver_mask: np.ndarray) -> np.ndarray:
+        icfg = self.cfg.infer
+        img = np.asarray(vol, np.float32) - icfg.mean
+        mask, _, _ = postprocess.liver_mask_extent(ext_liver_mask)
+        liver_prob, tumor_prob = self.scorer.predict_volume(img)
+        return postprocess.compose_labelmap(
+            liver_prob,
+            tumor_prob,
+            mask,
+            thres_liver=icfg.thres_liver,
+            thres_tumor=icfg.thres_tumor,
+        )
+
+
 def predict_directory(
     params,
     bn_state,
@@ -77,6 +111,7 @@ def predict_directory(
     save_dir,
     num_volumes: int | None = None,
     arch: str = "end2end",
+    tiled: int | None = None,
     log=print,
 ):
     """Segment ``test-volume-{i}.nii`` files, write labelmaps, report timing.
@@ -88,7 +123,10 @@ def predict_directory(
     mask_dir = Path(liver_mask_dir)
     out_dir = Path(save_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    predictor = VolumePredictor(params, bn_state, cfg, arch=arch)
+    if tiled:
+        predictor = TiledPredictor(params, bn_state, cfg, tile=tiled, arch=arch)
+    else:
+        predictor = VolumePredictor(params, bn_state, cfg, arch=arch)
 
     n = num_volumes if num_volumes is not None else cfg.data.num_test_volumes
     times = []
