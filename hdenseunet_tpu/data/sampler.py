@@ -111,6 +111,7 @@ class CropSampler:
         input_size: int = 224,
         input_cols: int = 8,
         seed: int = 0,
+        use_native: bool | None = None,
     ):
         assert mode in ("2d", "hybrid"), mode
         self.ds = dataset
@@ -120,6 +121,11 @@ class CropSampler:
         self.cols = 3 if mode == "2d" else int(input_cols)
         self.rng = np.random.default_rng(seed)
         self._cache: dict[int, tuple] = {}
+        if use_native is None:
+            from .. import native
+
+            use_native = native.available()
+        self.use_native = bool(use_native)
 
     # -- per-volume cached metadata ---------------------------------------
     def _meta(self, i: int):
@@ -178,20 +184,33 @@ class CropSampler:
         lo = np.clip(np.minimum(np.maximum(mn + half, cen), mx - half - 1), half, shape - (size - half))
         a, b, c = (int(v) for v in lo)
 
-        sl = (
-            slice(a - deps // 2, a - deps // 2 + deps),
-            slice(b - rows // 2, b - rows // 2 + rows),
-            slice(c - cols // 2, c - cols // 2 + cols),
-        )
-        crop_img = np.asarray(img[sl], np.float32) - self.cfg.mean
-        crop_seg = np.asarray(seg[sl])
-
+        origin = (a - deps // 2, b - rows // 2, c - cols // 2)
         case = int(self.rng.integers(0, _FLIP_CASES))
-        crop_img, crop_seg = apply_flip_rot(crop_img, crop_seg, case)
 
-        out_hw = (self.input_size, self.input_size)
-        crop_img = resize_2d_stack(crop_img, out_hw, nearest=False)
-        crop_seg = resize_2d_stack(crop_seg.astype(np.int16), out_hw, nearest=True)
+        sl = tuple(slice(o, o + s) for o, s in zip(origin, (deps, rows, cols)))
+        if self.use_native:
+            # fused C++ mean-subtract+augment+resize (hdenseunet_tpu/native):
+            # one call, bit-compatible with the cv2 path below
+            # (tests/test_native.py). The crop itself stays numpy so mmap'd
+            # volumes only materialize the cropped region.
+            from .. import native
+
+            crop_img, crop_seg = native.crop_aug_resize(
+                np.ascontiguousarray(img[sl], np.float32),
+                np.ascontiguousarray(seg[sl], np.int16),
+                (0, 0, 0),
+                (deps, rows, cols),
+                mean=self.cfg.mean,
+                flip_case=case,
+                out_size=self.input_size,
+            )
+        else:
+            crop_img = np.asarray(img[sl], np.float32) - self.cfg.mean
+            crop_seg = np.asarray(seg[sl])
+            crop_img, crop_seg = apply_flip_rot(crop_img, crop_seg, case)
+            out_hw = (self.input_size, self.input_size)
+            crop_img = resize_2d_stack(crop_img, out_hw, nearest=False)
+            crop_seg = resize_2d_stack(crop_seg.astype(np.int16), out_hw, nearest=True)
 
         if self.mode == "2d":
             return crop_img, crop_seg[:, :, 1]

@@ -1,0 +1,111 @@
+"""Native (C++) data-loader core with on-demand compilation + ctypes binding.
+
+The framework's compute path is JAX/XLA/Pallas; this is the *host runtime*
+side — the training sampler's crop/augment/resize hot loop as a single C call
+(see sampler.cpp header for rationale). Falls back silently to the numpy/cv2
+path when no C++ toolchain is present (`available()` -> False).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "sampler.cpp"
+_LIB = None
+_TRIED = False
+
+
+def _build() -> Path | None:
+    """Compile sampler.cpp -> cached .so keyed by source hash."""
+    if not _SRC.exists():
+        return None
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    cache = Path(
+        os.environ.get("HDENSEUNET_NATIVE_CACHE", Path(tempfile.gettempdir()) / "hdenseunet_native")
+    )
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return None  # unusable cache location -> numpy/cv2 fallback
+    so = cache / f"sampler_{tag}.so"
+    if so.exists():
+        return so
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-o", str(so), str(_SRC),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return so if so.exists() else None
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    L = ctypes.c_long
+    F = ctypes.c_float
+    I = ctypes.c_int
+    PF = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    PS = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.crop_aug_resize.argtypes = [PF, PS, L, L, L, L, L, L, L, L, L, F, I, L, PF, PS]
+    lib.crop_aug_resize.restype = None
+    lib.crop_aug.argtypes = [PF, PS, L, L, L, L, L, L, L, L, L, F, I, PF, PS]
+    lib.crop_aug.restype = None
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def crop_aug_resize(vol, seg, origin, size, *, mean, flip_case, out_size):
+    """Fused crop+augment+resize. vol (X,Y,Z) f32 C-order; seg int16.
+
+    Returns (image (out,out,cols) float32 mean-subtracted, labels int16).
+    """
+    lib = _load()
+    assert lib is not None, "native sampler unavailable"
+    vol = np.ascontiguousarray(vol, np.float32)
+    seg = np.ascontiguousarray(seg, np.int16)
+    a, b, c = (int(v) for v in origin)
+    deps, rows, cols = (int(v) for v in size)
+    out_img = np.empty((out_size, out_size, cols), np.float32)
+    out_seg = np.empty((out_size, out_size, cols), np.int16)
+    lib.crop_aug_resize(
+        vol, seg, *vol.shape, a, b, c, deps, rows, cols,
+        float(mean), int(flip_case), int(out_size), out_img, out_seg,
+    )
+    return out_img, out_seg
+
+
+def crop_aug(vol, seg, origin, size, *, mean, flip_case):
+    """Crop + flip/rot only (exact numpy-semantics oracle pair)."""
+    lib = _load()
+    assert lib is not None, "native sampler unavailable"
+    vol = np.ascontiguousarray(vol, np.float32)
+    seg = np.ascontiguousarray(seg, np.int16)
+    a, b, c = (int(v) for v in origin)
+    deps, rows, cols = (int(v) for v in size)
+    h2, w2 = (rows, deps) if 3 <= flip_case <= 6 else (deps, rows)
+    out_img = np.empty((h2, w2, cols), np.float32)
+    out_seg = np.empty((h2, w2, cols), np.int16)
+    lib.crop_aug(
+        vol, seg, *vol.shape, a, b, c, deps, rows, cols,
+        float(mean), int(flip_case), out_img, out_seg,
+    )
+    return out_img, out_seg
