@@ -60,6 +60,7 @@ def main():
     scorer = DeviceVolumeScorer(
         params, bn_state, cfg, arch="end2end", preset=preset,
         compute_dtype="bfloat16", z_bucket=64,
+        shared_2d=os.environ.get("BENCH_SHARED2D", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

@@ -87,6 +87,12 @@ class InferConfig:
     # program per volume (infer/device_pipeline.py) and fetch a thresholded
     # uint8 mask; False = host-loop path (infer/sliding_window.py)
     device_resident: bool = True
+    # fast mode: compute the 2D branch once per z-slice instead of once per
+    # overlapping window (~4x less 2D work). Window-EDGE slice stacks then use
+    # volume neighbors instead of window-boundary replication — interior
+    # outputs can differ slightly through the 3D receptive field. Exact
+    # reference semantics when False.
+    shared_2d: bool = False
 
 
 @dataclasses.dataclass

@@ -145,6 +145,7 @@ class DeviceVolumeScorer:
         compute_dtype: str = "float32",
         num_classes: int = 3,
         z_bucket: int = Z_BUCKET,
+        shared_2d: bool | None = None,
     ):
         self.params = params
         self.bn_state = bn_state
@@ -154,6 +155,9 @@ class DeviceVolumeScorer:
         self.compute_dtype = compute_dtype
         self.num_classes = num_classes
         self.z_bucket = z_bucket
+        self.shared_2d = (
+            getattr(cfg, "shared_2d", False) if shared_2d is None else shared_2d
+        )
 
     def _bucketed(self, z: int) -> int:
         need = max(z, self.cfg.input_cols)
@@ -168,6 +172,11 @@ class DeviceVolumeScorer:
         vol_p = np.zeros((x0 + pad_x, y0 + pad_y, zp), np.float32)
         vol_p[:x0, :y0, :z] = vol
         wb = max(1, self.cfg.window_batch)
+        if self.shared_2d:
+            # phase-B transients (window gathers of the stored 2D features +
+            # 3D-branch activations) scale with wb; 4 fits HBM at 512^2 where
+            # 8 does not, and the 2D work no longer depends on wb here
+            wb = min(wb, 4)
         # batch count sized to the ACTUAL liver z-range, rounded up to a
         # bucket of 4 batches so recompiles stay rare but padding windows
         # (dead compute — weight 0) stay < wb*4 instead of filling the whole
@@ -179,18 +188,33 @@ class DeviceVolumeScorer:
         # cast host-side so the wire carries the compute dtype (bf16 = half
         # the bytes of f32 — matters on thin host links)
         wire = vol_p.astype(jnp.dtype(self.compute_dtype))
-        score = _score_volume(
-            self.params,
-            self.bn_state,
-            jnp.asarray(wire),
-            jnp.asarray(starts),
-            jnp.asarray(weights),
+        common = dict(
             arch=self.arch,
             preset=self.preset,
             compute_dtype=self.compute_dtype,
             num_classes=self.num_classes,
             cols=self.cfg.input_cols,
         )
+        if self.shared_2d:
+            score = _score_volume_shared2d(
+                self.params,
+                self.bn_state,
+                jnp.asarray(wire),
+                jnp.int32(z),
+                jnp.asarray(starts),
+                jnp.asarray(weights),
+                chunk2d=4 if zp % 4 == 0 else self.cfg.input_cols,
+                **common,
+            )
+        else:
+            score = _score_volume(
+                self.params,
+                self.bn_state,
+                jnp.asarray(wire),
+                jnp.asarray(starts),
+                jnp.asarray(weights),
+                **common,
+            )
         return score[:x0, :y0, :z]
 
     def predict_volume(self, vol: np.ndarray, mini_z: int, maxi_z: int):
@@ -355,3 +379,125 @@ class TiledVolumeScorer:
     def predict_volume(self, vol: np.ndarray):
         score = np.asarray(self.score(vol))
         return score[..., self.num_classes - 2], score[..., self.num_classes - 1]
+
+
+# ---------------------------------------------------------------------------
+# shared-2D fast mode: dedupe the 2D branch across overlapping windows
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "preset", "compute_dtype", "num_classes", "cols", "chunk2d",
+    ),
+)
+def _score_volume_shared2d(
+    params,
+    bn_state,
+    vol,
+    z_real,
+    starts,
+    weights,
+    *,
+    arch: str,
+    preset: str,
+    compute_dtype: str,
+    num_classes: int,
+    cols: int,
+    chunk2d: int = 8,
+):
+    """Sliding-window scoring with the 2D branch computed ONCE per z-slice.
+
+    The exact path (_score_volume) runs the 2D DenseUNet on every window's 8
+    slice-stacks; with stride 2 each z-slice is re-processed by ~4 windows.
+    Here phase A computes 2D features/logits for every slice of the volume
+    (stacks clamped at the VOLUME boundary), phase B gathers 8 precomputed
+    slices per window for the 3D branch + HFF head.
+
+    Deviation from the reference: inside a window, the reference builds its
+    two EDGE stacks with window-boundary replication (hybridnet.py:385-395);
+    here those two stacks use the volume's true neighbors instead. Window-edge
+    outputs are discarded either way; the difference reaches surviving
+    interior outputs only through the 3D branch's receptive field. This is
+    the documented fast mode (`InferConfig.shared_2d`), not the default.
+    """
+    from ..models import denseunet2d, denseunet3d
+    from ..models.hybrid import LOGIT_AMPLIFICATION, hff_head
+
+    x, y, zp = vol.shape
+    n_batches, wb = starts.shape
+    dtype = jnp.dtype(compute_dtype)
+    vol = vol.astype(dtype)
+    inner = cols - 2
+
+    kw2d = dict(denseunet2d.PRESETS[preset])
+    kw3d = dict(denseunet3d.PRESETS[preset])
+    feat_width = kw2d.get("decoder_widths", (768, 384, 96, 96, 64))[-1]
+    assert zp % chunk2d == 0, (zp, chunk2d)
+
+    # ---- phase A: 2D branch over all z slices, chunked ------------------
+    # channel-major storage (z, C, x, y): the minor-most dims are the clean
+    # 512x512 plane, so TPU (8,128) tiling adds no padding. Feature-last
+    # layouts here pad C=3 -> 128 lanes (42x memory blow-up -> HBM OOM).
+    fea = jnp.zeros((zp, feat_width, x, y), dtype)
+    res = jnp.zeros((zp, num_classes, x, y), dtype)
+
+    def body_a(i, carry):
+        fea, res = carry
+        z0 = i * chunk2d
+        idx = z0 + jnp.arange(chunk2d)
+        prev = jnp.take(vol, jnp.maximum(idx - 1, 0), axis=2)
+        cur = jnp.take(vol, jnp.minimum(idx, z_real - 1), axis=2)
+        nxt = jnp.take(vol, jnp.minimum(idx + 1, z_real - 1), axis=2)
+        stacks = jnp.stack([prev, cur, nxt], axis=-1)  # (x, y, c, 3)
+        stacks = jnp.transpose(stacks, (2, 0, 1, 3))  # (c, x, y, 3)
+        ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
+        f2, l2 = denseunet2d.apply(
+            ctx, stacks, bn_frozen=True, decoder_dropout=0.0,
+            num_classes=num_classes, **kw2d,
+        )
+        f2 = jnp.transpose(f2.astype(dtype), (0, 3, 1, 2))  # (c, F, x, y)
+        l2 = jnp.transpose(l2.astype(dtype), (0, 3, 1, 2))  # (c, C, x, y)
+        fea = lax.dynamic_update_slice(fea, f2, (z0, 0, 0, 0))
+        res = lax.dynamic_update_slice(res, l2, (z0, 0, 0, 0))
+        return fea, res
+
+    fea, res = lax.fori_loop(0, zp // chunk2d, body_a, (fea, res))
+
+    # ---- phase B: 3D branch + HFF per window, gathered from phase A -----
+    score0 = jnp.zeros((x, y, zp, num_classes), jnp.float32)
+    count0 = jnp.zeros((zp,), jnp.float32)
+
+    def body_b(i, carry):
+        score, count = carry
+        s_i = starts[i]
+        w_i = weights[i]
+        vol_w = jax.vmap(lambda s: lax.dynamic_slice(vol, (0, 0, s), (x, y, cols)))(s_i)
+        fea_w = jax.vmap(lambda s: lax.dynamic_slice(fea, (s, 0, 0, 0), (cols,) + fea.shape[1:]))(s_i)
+        res_w = jax.vmap(lambda s: lax.dynamic_slice(res, (s, 0, 0, 0), (cols,) + res.shape[1:]))(s_i)
+        # (wb, cols, C, x, y) -> (wb, x, y, cols, C)
+        fea_w = jnp.transpose(fea_w, (0, 3, 4, 1, 2))
+        res_w = jnp.transpose(res_w, (0, 3, 4, 1, 2))
+        input3d = jnp.concatenate(
+            [vol_w[..., None], res_w * LOGIT_AMPLIFICATION], axis=-1
+        )
+        ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
+        feat3d, _ = denseunet3d.apply(ctx, input3d, num_classes=num_classes, **kw3d)
+        logits = hff_head(ctx, feat3d, fea_w, arch=arch, num_classes=num_classes)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
+
+        def acc(j, carry2):
+            sc, cn = carry2
+            sj = s_i[j] + 1
+            pj = lax.dynamic_index_in_dim(probs, j, axis=0, keepdims=False)
+            blk = lax.dynamic_slice(sc, (0, 0, sj, 0), (x, y, inner, num_classes))
+            sc = lax.dynamic_update_slice(sc, blk + w_i[j] * pj, (0, 0, sj, 0))
+            cblk = lax.dynamic_slice(cn, (sj,), (inner,))
+            cn = lax.dynamic_update_slice(cn, cblk + w_i[j], (sj,))
+            return sc, cn
+
+        return lax.fori_loop(0, wb, acc, (score, count))
+
+    score, count = lax.fori_loop(0, n_batches, body_b, (score0, count0))
+    return score / (count[None, None, :, None] + 1e-4)

@@ -90,13 +90,22 @@ def apply(ctx: Ctx, vol, *, arch: str = "end2end", num_classes: int = 3, preset:
         ctx, input3d, reduction=0.5, **denseunet3d.PRESETS[preset]
     )
 
+    return hff_head(ctx, feat3d, fea2d, arch=arch, num_classes=num_classes)
+
+
+def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3):
+    """HFF fusion head (hybridnet.py:414-419): add -> Conv3D(64) -> Dropout
+    (0.3 end2end / 0.1 3dpart) -> BN -> ReLU -> 1x1x1 Conv '2d3dclassifer'.
+
+    Factored out so the shared-2D inference path (infer/device_pipeline.py)
+    applies the identical head without rebuilding the full hybrid graph.
+    """
     fused = feat3d + fea2d  # HFF (hybridnet.py:414)
     f = L.conv3d(ctx, fused, "fianl_conv", 64, 3, padding="same")  # [sic] reference name
     f = L.dropout(ctx, f, 0.3 if arch == "end2end" else 0.1)
     f = L.batch_norm(ctx, f, "final_bn", eps=1e-3)
     f = L.relu(f)
-    logits = L.conv3d(ctx, f, "2d3dclassifer", num_classes, 1, padding="same")
-    return logits
+    return L.conv3d(ctx, f, "2d3dclassifer", num_classes, 1, padding="same")
 
 
 def init(rng, *, input_size=224, input_cols=8, batch=1, **kwargs):

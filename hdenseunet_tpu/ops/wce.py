@@ -49,12 +49,15 @@ def _wce_kernel(lt_ref, y_ref, m_ref, w_ref, sums_ref, *, c: int):
     wy = jnp.sum(jnp.where(rows == y, w.reshape(8, 1), 0.0), axis=0, keepdims=True)
 
     del onehot, c
-    # lane 0 carries Σ m·w·logp, lane 1 carries Σ m (output tile is one
-    # 128-lane row per grid step to respect TPU lane tiling)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    # output tile is (1, 8, 128) per grid step — mosaic requires the last two
+    # block dims be (8k, 128k). Row 0 lane 0 carries Σ m·w·logp, row 0 lane 1
+    # carries Σ m; everything else is zero.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 1)
     s = jnp.sum(m * wy * picked)
     cnt = jnp.sum(m)
-    sums_ref[:] = jnp.where(lane == 0, s, jnp.where(lane == 1, cnt, 0.0))
+    vals = jnp.where(lane == 0, s, jnp.where(lane == 1, cnt, 0.0))
+    sums_ref[:] = jnp.where(row == 0, vals, 0.0)
 
 
 def _wce_forward_pallas(logits2, labels1, mask1, weights, *, interpret=False):
@@ -76,7 +79,7 @@ def _wce_forward_pallas(logits2, labels1, mask1, weights, *, interpret=False):
     grid = (npad // _TILE_N,)
     sums = pl.pallas_call(
         functools.partial(_wce_kernel, c=c),
-        out_shape=jax.ShapeDtypeStruct((grid[0], _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, _LANES), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -84,10 +87,12 @@ def _wce_forward_pallas(logits2, labels1, mask1, weights, *, interpret=False):
             pl.BlockSpec((1, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 8, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
     )(lt, y, m, w)
-    total = jnp.sum(sums, axis=0)
+    total = jnp.sum(sums, axis=(0, 1))
     return total[0], total[1]
 
 

@@ -300,3 +300,34 @@ def test_tile_origins_clamped_and_deduped():
     assert tile_origins(64, 64, 42) == [0]
     out = tile_origins(200, 64, 42)
     assert out[-1] == 136 and out == sorted(set(out))
+
+
+def test_shared2d_single_window_exact(tiny_hybrid):
+    """When the volume is exactly one window, window edges == volume edges so
+    the shared-2D fast path reproduces the exact path bit-for-bit (mod float)."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=2)
+    vol = np.random.default_rng(9).normal(0, 50, (32, 32, 8)).astype(np.float32)
+    ex = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=8, shared_2d=False)
+    sh = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=8, shared_2d=True)
+    l1, t1 = ex.predict_volume(vol, 0, 7)
+    l2, t2 = sh.predict_volume(vol, 0, 7)
+    np.testing.assert_allclose(l1, l2, atol=1e-5)
+    np.testing.assert_allclose(t1, t2, atol=1e-5)
+
+
+def test_shared2d_overlap_close_to_exact(tiny_hybrid):
+    """With overlapping windows the fast path deviates only through the 3D
+    receptive field at window edges — probabilities stay close."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=2)
+    vol = np.random.default_rng(10).normal(0, 50, (32, 32, 24)).astype(np.float32)
+    ex = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=8, shared_2d=False)
+    sh = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=8, shared_2d=True)
+    l1, _ = ex.predict_volume(vol, 2, 22)
+    l2, _ = sh.predict_volume(vol, 2, 22)
+    assert np.abs(l1 - l2).max() < 0.05, np.abs(l1 - l2).max()
