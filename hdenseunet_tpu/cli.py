@@ -161,6 +161,25 @@ def cmd_convert_weights(args):
     print(f"converted {len(keys)} weight arrays -> {args.dst}")
 
 
+def cmd_export_weights(args):
+    """Orbax checkpoint -> Keras-2.0.8 by-name HDF5 (take a TPU-trained model
+    back to the reference stack)."""
+    from .core.config import Config
+    from .train import checkpoint as ckpt_lib
+    from .train import trainer
+    from .weights import convert as wconv
+
+    cfg = _load_config(args.config, dict(args.set or []))
+    cfg.train.arch = args.arch
+    ts, _, _ = trainer.create_train_state(None, cfg, args.arch)
+    restored = ckpt_lib.Checkpointer(args.checkpoint).restore_latest(ts)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.checkpoint}")
+    wconv.save_keras_hdf5(args.dst, restored.params, restored.bn_state)
+    n = sum(len(v) for v in restored.params.values())
+    print(f"exported {n} weight arrays (+BN stats) -> {args.dst}")
+
+
 def cmd_evaluate(args):
     from .data import nifti
     from .infer import metrics
@@ -229,6 +248,14 @@ def build_parser():
     sp.add_argument("--submodel", default=None,
                     choices=[None, "model_1", "denseu161", "auto3d_residual_conv"])
     sp.set_defaults(fn=cmd_convert_weights)
+
+    sp = sub.add_parser("export-weights", help="orbax checkpoint -> Keras HDF5")
+    sp.add_argument("checkpoint", help="checkpoint directory")
+    sp.add_argument("dst", help="output .h5 path")
+    sp.add_argument("--arch", choices=["2d", "3dpart", "end2end"], default="2d")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VAL"))
+    sp.set_defaults(fn=cmd_export_weights)
 
     sp = sub.add_parser("evaluate", help="Dice of predicted vs truth labelmaps")
     sp.add_argument("--pred", required=True)
