@@ -60,7 +60,9 @@ def make_grid(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch", "preset", "compute_dtype", "num_classes", "cols"),
+    static_argnames=(
+        "arch", "preset", "compute_dtype", "num_classes", "cols", "output",
+    ),
 )
 def _score_volume(
     params,
@@ -68,16 +70,21 @@ def _score_volume(
     vol,
     starts,
     weights,
+    thresholds,
     *,
     arch: str,
     preset: str,
     compute_dtype: str,
     num_classes: int,
     cols: int,
+    output: str = "probs",
 ):
     """vol: (X, Y, Zpad) mean-subtracted; starts/weights: (n_batches, wb).
 
-    Returns (X, Y, Zpad, num_classes) overlap-averaged probabilities.
+    ``output`` selects what the single compiled program returns — 'probs'
+    (X, Y, Zpad, C) averaged probabilities, 'packed' thresholded uint8 mask,
+    or 'digest' 3 scalars — so thresholding/digesting costs no extra jit
+    dispatch (each dispatch round-trips the host link).
     """
     x, y, zp = vol.shape
     n_batches, wb = starts.shape
@@ -112,7 +119,12 @@ def _score_volume(
         return lax.fori_loop(0, wb, acc, (score, count))
 
     score, count = lax.fori_loop(0, n_batches, body, (score0, count0))
-    return score / (count[None, None, :, None] + 1e-4)  # funcs.py:48
+    score = score / (count[None, None, :, None] + 1e-4)  # funcs.py:48
+    if output == "packed":
+        return _pack_labels(score, thresholds[0], thresholds[1], num_classes=num_classes)
+    if output == "digest":
+        return _summarize(score)
+    return score
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
@@ -163,8 +175,10 @@ class DeviceVolumeScorer:
         need = max(z, self.cfg.input_cols)
         return -(-need // self.z_bucket) * self.z_bucket
 
-    def score(self, vol: np.ndarray, mini_z: int, maxi_z: int):
-        """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs."""
+    def score(self, vol: np.ndarray, mini_z: int, maxi_z: int, output: str = "probs"):
+        """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs
+        (or packed mask / scalar digest per ``output``, computed in the SAME
+        compiled program — no extra dispatch)."""
         x0, y0, z = vol.shape
         pad_x = (-x0) % 32
         pad_y = (-y0) % 32
@@ -206,16 +220,32 @@ class DeviceVolumeScorer:
                 chunk2d=4 if zp % 4 == 0 else self.cfg.input_cols,
                 **common,
             )
-        else:
-            score = _score_volume(
-                self.params,
-                self.bn_state,
-                jnp.asarray(wire),
-                jnp.asarray(starts),
-                jnp.asarray(weights),
-                **common,
-            )
-        return score[:x0, :y0, :z]
+            if output == "packed":
+                score = _pack_labels(
+                    score,
+                    jnp.float32(self.cfg.thres_liver),
+                    jnp.float32(self.cfg.thres_tumor),
+                    num_classes=self.num_classes,
+                )
+                return score[:x0, :y0, :z]
+            if output == "digest":
+                return _summarize(score)
+            return score[:x0, :y0, :z]
+        out = _score_volume(
+            self.params,
+            self.bn_state,
+            jnp.asarray(wire),
+            jnp.asarray(starts),
+            jnp.asarray(weights),
+            jnp.asarray(
+                [self.cfg.thres_liver, self.cfg.thres_tumor], jnp.float32
+            ),
+            output=output,
+            **common,
+        )
+        if output == "digest":
+            return out
+        return out[:x0, :y0, :z]
 
     def predict_volume(self, vol: np.ndarray, mini_z: int, maxi_z: int):
         """Host-compatible API: (liver_prob, tumor_prob) numpy arrays."""
@@ -223,19 +253,13 @@ class DeviceVolumeScorer:
         return score[..., self.num_classes - 2], score[..., self.num_classes - 1]
 
     def labelmask(self, vol: np.ndarray, mini_z: int, maxi_z: int):
-        """uint8 (X,Y,Z): bit0 = liver-or-tumor, bit1 = tumor. ONE small d2h."""
-        score = self.score(vol, mini_z, maxi_z)
-        packed = _pack_labels(
-            score,
-            jnp.float32(self.cfg.thres_liver),
-            jnp.float32(self.cfg.thres_tumor),
-            num_classes=self.num_classes,
-        )
-        return np.asarray(packed)
+        """uint8 (X,Y,Z): bit0 = liver-or-tumor, bit1 = tumor. ONE small d2h,
+        ONE dispatch (thresholding fused into the scoring program)."""
+        return np.asarray(self.score(vol, mini_z, maxi_z, output="packed"))
 
     def summarize(self, vol: np.ndarray, mini_z: int, maxi_z: int):
         """Scalar digest only — for benchmarking through thin host links."""
-        return np.asarray(_summarize(self.score(vol, mini_z, maxi_z)))
+        return np.asarray(self.score(vol, mini_z, maxi_z, output="digest"))
 
 
 # ---------------------------------------------------------------------------

@@ -130,15 +130,28 @@ def predict_directory(
 
     n = num_volumes if num_volumes is not None else cfg.data.num_test_volumes
     times = []
-    for i in range(n):
+
+    # overlap the next volume's NIfTI read/decompress with this volume's
+    # device compute (the reference reloaded model + weights per volume,
+    # test.py:48-51; here IO is the only per-volume host cost left)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(i):
         vol, hdr = nifti.read(_find(data_dir, i))
         mask, _ = nifti.read(_find(mask_dir, i, suffix="-ori"))
-        t0 = time.perf_counter()
-        labelmap = predictor.segment(vol, np.asarray(mask))
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        nifti.write(out_dir / f"test-segmentation-{i}.nii", labelmap, hdr)
-        log(f"volume {i}: {vol.shape} segmented in {dt:.2f}s")
+        return vol, hdr, np.asarray(mask)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(load, 0) if n else None
+        for i in range(n):
+            vol, hdr, mask = pending.result()
+            pending = pool.submit(load, i + 1) if i + 1 < n else None
+            t0 = time.perf_counter()
+            labelmap = predictor.segment(vol, mask)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            nifti.write(out_dir / f"test-segmentation-{i}.nii", labelmap, hdr)
+            log(f"volume {i}: {vol.shape} segmented in {dt:.2f}s")
     if times:
         log(f"mean {np.mean(times):.2f}s/volume over {len(times)} volumes")
     return times
