@@ -22,11 +22,9 @@ multi-tower loss (utils2/multi_gpu.py:64-69) exactly.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 DEFAULT_CLASS_WEIGHTS = (0.78, 0.65, 8.57)  # bg / liver / tumor (loss.py:23)
-_LOG_CLIP = -23.025850929940457  # ln(1e-10), parity with loss.py:12
 
 
 def weighted_crossentropy_2d(logits, labels, weights=DEFAULT_CLASS_WEIGHTS):
