@@ -62,6 +62,7 @@ def make_grid(
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "output",
+        "mesh",
     ),
 )
 def _score_volume(
@@ -78,6 +79,7 @@ def _score_volume(
     num_classes: int,
     cols: int,
     output: str = "probs",
+    mesh=None,
 ):
     """vol: (X, Y, Zpad) mean-subtracted; starts/weights: (n_batches, wb).
 
@@ -102,6 +104,13 @@ def _score_volume(
         wins = jax.vmap(
             lambda s: lax.dynamic_slice(vol, (0, 0, s), (x, y, cols))
         )(s_i)[..., None]
+        if mesh is not None:
+            # shard the window batch over the 'data' axis: each chip scores
+            # wb/n_chips windows; XLA all-gathers probs for the accumulation
+            wins = lax.with_sharding_constraint(
+                wins,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+            )
         ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
         logits = hybrid.apply(ctx, wins, arch=arch, preset=preset, num_classes=num_classes)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
@@ -158,7 +167,17 @@ class DeviceVolumeScorer:
         num_classes: int = 3,
         z_bucket: int = Z_BUCKET,
         shared_2d: bool | None = None,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — window
+        batches shard across its chips (make window_batch a multiple of the
+        axis size); params/state are replicated onto it."""
+        if mesh is not None:
+            from ..core.mesh import replicate
+
+            params = replicate(mesh, params)
+            bn_state = replicate(mesh, bn_state)
+        self.mesh = mesh
         self.params = params
         self.bn_state = bn_state
         self.cfg = cfg
@@ -241,6 +260,7 @@ class DeviceVolumeScorer:
                 [self.cfg.thres_liver, self.cfg.thres_tumor], jnp.float32
             ),
             output=output,
+            mesh=self.mesh,
             **common,
         )
         if output == "digest":

@@ -34,6 +34,7 @@ class VolumePredictor:
                 preset=cfg.model.preset,
                 compute_dtype=cfg.model.compute_dtype,
                 num_classes=cfg.model.num_classes,
+                mesh=mesh,
             )
         else:
             self.windows = WindowPredictor(

@@ -331,3 +331,22 @@ def test_shared2d_overlap_close_to_exact(tiny_hybrid):
     l1, _ = ex.predict_volume(vol, 2, 22)
     l2, _ = sh.predict_volume(vol, 2, 22)
     assert np.abs(l1 - l2).max() < 0.05, np.abs(l1 - l2).max()
+
+
+def test_device_scorer_sharded_over_mesh_matches_single(tiny_hybrid):
+    """Device-resident scoring with window batches sharded over an 8-device
+    'data' mesh reproduces single-device results (multi-chip serving path)."""
+    from hdenseunet_tpu.core.mesh import make_mesh
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=8)
+    vol = np.random.default_rng(11).normal(0, 50, (32, 32, 28)).astype(np.float32)
+    single = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny", z_bucket=16)
+    sharded = DeviceVolumeScorer(
+        params, bn_state, cfg, preset="tiny", z_bucket=16, mesh=make_mesh()
+    )
+    l1, t1 = single.predict_volume(vol, 2, 26)
+    l2, t2 = sharded.predict_volume(vol, 2, 26)
+    np.testing.assert_allclose(l1, l2, atol=1e-5)
+    np.testing.assert_allclose(t1, t2, atol=1e-5)
