@@ -21,7 +21,7 @@ Reference-side dump (run under the reference's python2 + Keras-2.0.8 env):
     model.load_weights('densenet161_weights_tf.h5', by_name=True)
     x = np.load('parity_input.npy')         # written by `dump` below
     taps = ['relu1', 'concat_2_6', 'concat_3_12', 'concat_4_36', 'relu5_blk',
-            'ave_up4', 'dense167classifer']
+            'ac_up4', 'dense167classifer']
     probe = Model(model.input, [model.get_layer(n).output for n in taps])
     outs = probe.predict(x, batch_size=x.shape[0])
     np.savez('reference_acts.npz', **dict(zip(taps, outs)))
@@ -44,7 +44,7 @@ TAPS = ("relu1", "concat_2_6", "concat_3_12", "concat_4_36", "relu5_blk")
 
 def dump_activations(params, bn_state, x, *, reduction=0.5, preset="full"):
     """Run DenseUNet-2D and return {tap_name: activation} including decoder
-    feature map ('ave_up4') and logits ('dense167classifer')."""
+    feature map ('ac_up4') and logits ('dense167classifer')."""
     import jax.numpy as jnp
 
     from ..core.module import Ctx
@@ -62,7 +62,7 @@ def dump_activations(params, bn_state, x, *, reduction=0.5, preset="full"):
     feat_map, logits = denseunet2d.apply(
         ctx, jnp.asarray(x), reduction=reduction, **kw
     )
-    out["ave_up4"] = np.asarray(feat_map)
+    out["ac_up4"] = np.asarray(feat_map)
     out["dense167classifer"] = np.asarray(logits)
     return out
 
