@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--preset", default="full")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -49,7 +50,7 @@ def main():
 
     mesh = make_mesh()
     ts, tx, _ = trainer.create_train_state(None, cfg, args.arch)
-    step = trainer.make_train_step(tx, cfg, mesh, args.arch)
+    k = max(1, args.steps_per_dispatch)
     bsh = batch_sharding(mesh)
 
     mode = "2d" if args.arch == "2d" else "hybrid"
@@ -57,17 +58,31 @@ def main():
         mode=mode, batch=args.batch, input_size=args.input_size,
         input_cols=args.input_cols,
     )
-    batch = next(gen)
-    db = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    if k > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from hdenseunet_tpu.core.mesh import DATA_AXIS
+
+        step = trainer.make_multi_step(tx, cfg, mesh, args.arch, k=k)
+        stacked = trainer.stack_batches([next(gen) for _ in range(k)])
+        db = {
+            key: jax.device_put(v, NamedSharding(mesh, PartitionSpec(None, DATA_AXIS)))
+            for key, v in stacked.items()
+        }
+    else:
+        step = trainer.make_train_step(tx, cfg, mesh, args.arch)
+        batch = next(gen)
+        db = {key: jax.device_put(v, bsh) for key, v in batch.items()}
 
     ts, loss = step(ts, db)  # compile
-    print(f"compiled; warmup loss {float(loss):.4f}", flush=True)
+    print(f"compiled; warmup loss {float(np.asarray(loss).ravel()[-1]):.4f}", flush=True)
 
+    n_dispatch = max(1, args.steps // k)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(n_dispatch):
         ts, loss = step(ts, db)
-    final = float(loss)  # scalar d2h forces sync (axon block_until_ready is a no-op)
-    dt = (time.perf_counter() - t0) / args.steps
+    final = float(np.asarray(loss).ravel()[-1])  # scalar d2h forces sync
+    dt = (time.perf_counter() - t0) / (n_dispatch * k)
     assert np.isfinite(final)
 
     n_dev = jax.device_count()

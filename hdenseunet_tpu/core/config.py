@@ -61,6 +61,14 @@ class TrainConfig:
     seed: int = 0
     remat: bool = True  # jax.checkpoint on dense blocks to fit HBM
     log_every_steps: int = 20
+    # optimizer steps executed per device dispatch (lax.scan over stacked
+    # batches); >1 amortizes per-dispatch host latency on high-latency links
+    steps_per_dispatch: int = 1
+    # donate the TrainState to the jitted step (in-place buffer reuse, halves
+    # state HBM). Free on direct-attached TPUs; measured 45 ms -> 54 s/step
+    # through this image's tunneled backend (donation round-trips buffers
+    # through the host link), so off by default here.
+    donate_state: bool = False
 
     def resolved_steps_per_epoch(self) -> int:
         if self.steps_per_epoch is not None:

@@ -203,3 +203,50 @@ def test_remat_preserves_value_and_grad():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), ns0, ns1
     )
+
+
+def test_multi_step_matches_sequential_steps():
+    """K scanned steps per dispatch == K sequential single-step dispatches."""
+    import jax
+    import numpy as np
+
+    from hdenseunet_tpu.core.config import Config
+    from hdenseunet_tpu.core.mesh import batch_sharding, make_mesh
+    from hdenseunet_tpu.train import trainer
+
+    cfg = Config()
+    cfg.model.preset = "tiny"
+    cfg.model.input_size = 32
+    cfg.train.arch = "2d"
+    cfg.train.batch = 8
+    cfg.train.remat = False
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "image": rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32),
+            "label": rng.integers(0, 3, (8, 32, 32)).astype(np.int32),
+        }
+        for _ in range(3)
+    ]
+
+    ts_a, tx, _ = trainer.create_train_state(None, cfg, "2d")
+    step = trainer.make_train_step(tx, cfg, mesh, "2d")
+    losses_seq = []
+    for b in batches:
+        db = {k: jax.device_put(v, bsh) for k, v in b.items()}
+        ts_a, loss = step(ts_a, db)
+        losses_seq.append(float(loss))
+
+    ts_b, tx2, _ = trainer.create_train_state(None, cfg, "2d")
+    multi = trainer.make_multi_step(tx2, cfg, mesh, "2d", k=3)
+    stacked = trainer.stack_batches(batches)
+    ts_b, losses = multi(ts_b, stacked)
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=2e-4)
+    assert int(ts_b.step) == int(ts_a.step) == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        ts_a.params,
+        ts_b.params,
+    )
