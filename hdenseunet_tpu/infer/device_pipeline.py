@@ -38,15 +38,12 @@ def plan_windows(z_pad: int, cfg: InferConfig) -> int:
     return (z_pad - cfg.input_cols) // cfg.window_stride + 1
 
 
-def make_grid(
-    vol_z: int, mini_z: int, maxi_z: int, cfg: InferConfig, wb: int, n_batches: int
-):
+def make_grid(starts_list: list[int], wb: int, n_batches: int):
     """(starts, weights) arrays of static shape (n_batches, wb).
 
     Unique reference windows get their multiplicity as weight; padding slots
     get weight 0 (their compute is masked out of the average).
     """
-    starts_list = window_starts(vol_z, mini_z, maxi_z, cfg)
     uniq = sorted(set(starts_list))
     total = n_batches * wb
     assert len(uniq) <= total, (len(uniq), total)
@@ -197,27 +194,40 @@ class DeviceVolumeScorer:
     def score(self, vol: np.ndarray, mini_z: int, maxi_z: int, output: str = "probs"):
         """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs
         (or packed mask / scalar digest per ``output``, computed in the SAME
-        compiled program — no extra dispatch)."""
-        x0, y0, z = vol.shape
+        compiled program — no extra dispatch).
+
+        Only the z-range the window grid actually reads (the liver range plus
+        the reference's -5/+10 margins, funcs.py:19-20) crosses the host link
+        and lives in the on-device score buffer; everything outside is
+        background by construction (the reference also never scores it).
+        """
+        x0, y0, z_full = vol.shape
+        all_starts = window_starts(z_full, mini_z, maxi_z, self.cfg)
+        z_lo = min(all_starts)
+        z_hi = min(z_full, max(all_starts) + self.cfg.input_cols)
+        vol_c = vol[:, :, z_lo:z_hi]
+        x0, y0, z = vol_c.shape
         pad_x = (-x0) % 32
         pad_y = (-y0) % 32
         zp = self._bucketed(z)
         vol_p = np.zeros((x0 + pad_x, y0 + pad_y, zp), np.float32)
-        vol_p[:x0, :y0, :z] = vol
+        vol_p[:x0, :y0, :z] = vol_c
         wb = max(1, self.cfg.window_batch)
         if self.shared_2d:
             # phase-B transients (window gathers of the stored 2D features +
             # 3D-branch activations) scale with wb; 4 fits HBM at 512^2 where
             # 8 does not, and the 2D work no longer depends on wb here
             wb = min(wb, 4)
+        # the exact reference window grid, shifted into crop coordinates
+        starts_list = [s - z_lo for s in all_starts]
         # batch count sized to the ACTUAL liver z-range, rounded up to a
         # bucket of 4 batches so recompiles stay rare but padding windows
         # (dead compute — weight 0) stay < wb*4 instead of filling the whole
         # z-bucket's theoretical window grid
-        need = len(set(window_starts(z, mini_z, maxi_z, self.cfg)))
+        need = len(set(starts_list))
         n_batches = -(-max(1, -(-need // wb)) // 4) * 4
         n_batches = min(n_batches, -(-plan_windows(zp, self.cfg) // wb))
-        starts, weights = make_grid(z, mini_z, maxi_z, self.cfg, wb, n_batches)
+        starts, weights = make_grid(starts_list, wb, n_batches)
         # cast host-side so the wire carries the compute dtype (bf16 = half
         # the bytes of f32 — matters on thin host links)
         wire = vol_p.astype(jnp.dtype(self.compute_dtype))
@@ -246,10 +256,10 @@ class DeviceVolumeScorer:
                     jnp.float32(self.cfg.thres_tumor),
                     num_classes=self.num_classes,
                 )
-                return score[:x0, :y0, :z]
+                return self._restore_z(score[:x0, :y0, :z], z_lo, z_full)
             if output == "digest":
                 return _summarize(score)
-            return score[:x0, :y0, :z]
+            return self._restore_z(score[:x0, :y0, :z], z_lo, z_full)
         out = _score_volume(
             self.params,
             self.bn_state,
@@ -265,7 +275,18 @@ class DeviceVolumeScorer:
         )
         if output == "digest":
             return out
-        return out[:x0, :y0, :z]
+        return self._restore_z(out[:x0, :y0, :z], z_lo, z_full)
+
+    @staticmethod
+    def _restore_z(arr, z_lo: int, z_full: int):
+        """Pad the scored z-crop back to the full volume's z extent (the
+        uncovered region is background/zero — the reference never scores it
+        either, funcs.py:21-24)."""
+        z = arr.shape[2]
+        if z_lo == 0 and z == z_full:
+            return arr
+        cfg = [(0, 0), (0, 0), (z_lo, z_full - z_lo - z)] + [(0, 0)] * (arr.ndim - 3)
+        return jnp.pad(arr, cfg)
 
     def predict_volume(self, vol: np.ndarray, mini_z: int, maxi_z: int):
         """Host-compatible API: (liver_prob, tumor_prob) numpy arrays."""
