@@ -185,16 +185,24 @@ def cmd_evaluate(args):
     from .infer import metrics
 
     per_case = []
+    preds, truths = [], []
     for i in range(args.num_volumes):
         pred, _ = nifti.read(Path(args.pred) / f"test-segmentation-{i}.nii")
         truth, _ = nifti.read(Path(args.truth) / f"segmentation-{i}.nii")
-        d = metrics.dice_per_class(np.asarray(pred), np.asarray(truth))
+        pred, truth = np.asarray(pred), np.asarray(truth)
+        d = metrics.dice_per_class(pred, truth)
         per_case.append(d)
+        if args.global_dice:
+            preds.append(pred)
+            truths.append(truth)
         print(f"volume {i}: liver {d['liver']:.4f} tumor {d['tumor']:.4f}")
     mean = {
         k: float(np.mean([c[k] for c in per_case])) for k in ("liver", "tumor")
     }
     print(f"mean per-case Dice: liver {mean['liver']:.4f} tumor {mean['tumor']:.4f}")
+    if args.global_dice:
+        g = metrics.global_dice(preds, truths)
+        print(f"global Dice: liver {g['liver']:.4f} tumor {g['tumor']:.4f}")
 
 
 def build_parser():
@@ -261,6 +269,8 @@ def build_parser():
     sp.add_argument("--pred", required=True)
     sp.add_argument("--truth", required=True)
     sp.add_argument("--num-volumes", type=int, required=True)
+    sp.add_argument("--global-dice", action="store_true",
+                    help="also report Dice over the union of all cases")
     sp.set_defaults(fn=cmd_evaluate)
     return p
 

@@ -250,3 +250,51 @@ def test_multi_step_matches_sequential_steps():
         ts_a.params,
         ts_b.params,
     )
+
+
+def test_trainer_train_loop_with_checkpoint_and_multistep(tmp_path):
+    """trainer.train(): multi-step dispatch, epoch logging, checkpoint save,
+    exact resume — the full host loop, not just the jitted step."""
+    import jax
+    import numpy as np
+
+    from hdenseunet_tpu.core.config import Config
+    from hdenseunet_tpu.data.sampler import synthetic_batches
+    from hdenseunet_tpu.train import trainer
+
+    cfg = Config()
+    cfg.model.preset = "tiny"
+    cfg.model.input_size = 32
+    cfg.train.arch = "2d"
+    cfg.train.batch = 8
+    cfg.train.remat = False
+    cfg.train.steps_per_dispatch = 2
+    cfg.train.steps_per_epoch = 2
+    cfg.train.log_every_steps = 2
+    cfg.train.checkpoint_every_steps = 2
+    cfg.train.save_path = str(tmp_path / "exp")
+
+    logs = []
+    ts = trainer.train(
+        cfg,
+        synthetic_batches(mode="2d", batch=8, input_size=32, seed=1),
+        max_steps=4,
+        checkpoint_dir=str(tmp_path / "ck"),
+        log_fn=logs.append,
+    )
+    assert int(ts.step) == 4
+    assert any("epoch 1" in m for m in logs) and any("epoch 2" in m for m in logs)
+    assert (tmp_path / "exp" / "history" / "lossepoch.txt").read_text().count("\n") == 2
+
+    # resume continues from the saved step
+    logs2 = []
+    ts2 = trainer.train(
+        cfg,
+        synthetic_batches(mode="2d", batch=8, input_size=32, seed=2),
+        max_steps=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+        resume=True,
+        log_fn=logs2.append,
+    )
+    assert any("resumed from step 4" in m for m in logs2), logs2[:2]
+    assert int(ts2.step) == 6
