@@ -220,14 +220,24 @@ class DeviceVolumeScorer:
             wb = min(wb, 4)
         # the exact reference window grid, shifted into crop coordinates
         starts_list = [s - z_lo for s in all_starts]
-        # batch count sized to the ACTUAL liver z-range, rounded up to a
-        # bucket of 4 batches so recompiles stay rare but padding windows
-        # (dead compute — weight 0) stay < wb*4 instead of filling the whole
-        # z-bucket's theoretical window grid
-        need = len(set(starts_list))
-        n_batches = -(-max(1, -(-need // wb)) // 4) * 4
-        n_batches = min(n_batches, -(-plan_windows(zp, self.cfg) // wb))
-        starts, weights = make_grid(starts_list, wb, n_batches)
+        dedup = (
+            getattr(self.cfg, "dedup_2d", True)
+            and not self.shared_2d
+            and self.cfg.window_stride > 0
+        )
+        if dedup:
+            starts, weights = make_grid_structured(
+                starts_list, wb, self.cfg.window_stride
+            )
+        else:
+            # batch count sized to the ACTUAL liver z-range, rounded up to a
+            # bucket of 4 batches so recompiles stay rare but padding windows
+            # (dead compute — weight 0) stay < wb*4 instead of filling the
+            # whole z-bucket's theoretical window grid
+            need = len(set(starts_list))
+            n_batches = -(-max(1, -(-need // wb)) // 4) * 4
+            n_batches = min(n_batches, -(-plan_windows(zp, self.cfg) // wb))
+            starts, weights = make_grid(starts_list, wb, n_batches)
         # cast host-side so the wire carries the compute dtype (bf16 = half
         # the bytes of f32 — matters on thin host links)
         wire = vol_p.astype(jnp.dtype(self.compute_dtype))
@@ -260,7 +270,9 @@ class DeviceVolumeScorer:
             if output == "digest":
                 return _summarize(score)
             return self._restore_z(score[:x0, :y0, :z], z_lo, z_full)
-        out = _score_volume(
+        kernel = _score_volume_dedup2d if dedup else _score_volume
+        extra = {"stride": self.cfg.window_stride} if dedup else {}
+        out = kernel(
             self.params,
             self.bn_state,
             jnp.asarray(wire),
@@ -271,6 +283,7 @@ class DeviceVolumeScorer:
             ),
             output=output,
             mesh=self.mesh,
+            **extra,
             **common,
         )
         if output == "digest":
@@ -566,3 +579,188 @@ def _score_volume_shared2d(
 
     score, count = lax.fori_loop(0, n_batches, body_b, (score0, count0))
     return score / (count[None, None, :, None] + 1e-4)
+
+
+# ---------------------------------------------------------------------------
+# structured window grid: stride-aligned batches enabling in-batch 2D dedup
+# ---------------------------------------------------------------------------
+
+
+def make_grid_structured(starts_list: list[int], wb: int, stride: int):
+    """(starts, weights) with EVERY batch an arithmetic run s0, s0+stride, ...
+
+    Consecutive stride-aligned windows let the scoring kernel share interior
+    slice-stacks across a batch (exact dedup). Construction:
+    * the on-grid starts (left, left+stride, ...) chunk into runs; the last
+      run is right-aligned and extended BACKWARD with weight-0 slots (their
+      starts duplicate already-scored windows, weight 0 = no effect);
+    * the reference's clamped final start (z-cols) can be off-grid
+      (funcs.py:26-28) — it gets its own right-aligned run.
+    Weights carry each unique start's multiplicity exactly once.
+    """
+    uniq = sorted(set(starts_list))
+    mult = {s: starts_list.count(s) for s in uniq}
+    lo = uniq[0]
+    on_grid = [s for s in uniq if (s - lo) % stride == 0]
+    off_grid = [s for s in uniq if (s - lo) % stride != 0]
+    assert len(off_grid) <= 1, off_grid  # only the final clamp can be off-grid
+
+    runs: list[list[int]] = []
+
+    def emit(seq_starts: list[int]):
+        """Right-align a set of real starts into stride-runs of length wb."""
+        for i in range(0, len(seq_starts), wb):
+            chunk = seq_starts[i : i + wb]
+            end = chunk[-1]
+            run = [end - stride * (wb - 1 - j) for j in range(wb)]
+            if run[0] < 0:  # left-shift impossible; pad forward from 0 instead
+                run = [chunk[0] + stride * j for j in range(wb)]
+            runs.append(run)
+
+    emit(on_grid)
+    if off_grid:
+        emit(off_grid)
+
+    starts = np.zeros((len(runs), wb), np.int32)
+    weights = np.zeros((len(runs), wb), np.float32)
+    counted: set[int] = set()
+    for r, run in enumerate(runs):
+        for j, s in enumerate(run):
+            starts[r, j] = s
+            if s in mult and s not in counted:
+                weights[r, j] = mult[s]
+                counted.add(s)
+    assert counted == set(uniq), (sorted(counted), uniq)
+    return starts, weights
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "preset", "compute_dtype", "num_classes", "cols", "stride",
+        "output", "mesh",
+    ),
+)
+def _score_volume_dedup2d(
+    params,
+    bn_state,
+    vol,
+    starts,
+    weights,
+    thresholds,
+    *,
+    arch: str,
+    preset: str,
+    compute_dtype: str,
+    num_classes: int,
+    cols: int,
+    stride: int,
+    output: str = "probs",
+    mesh=None,
+):
+    """Exact scoring with in-batch 2D dedup over stride-aligned window runs.
+
+    Requires every batch row of ``starts`` to be an arithmetic run
+    s0, s0+stride, ... (make_grid_structured). Consecutive windows then share
+    their interior slice-stacks: positions 1..cols-2 of window j are the
+    volume-neighbor stacks [z-1, z, z+1] regardless of the window, so one 2D
+    pass over the run's union of interiors + each window's two edge stacks
+    (window-boundary replication, hybridnet.py:385-395) covers the whole
+    batch — (wb-1)*stride + cols - 2 + 2*wb stacks instead of wb*cols
+    (36 vs 64 at wb=8: 44% less 2D compute). EXACT: the hybrid's 2D branch
+    always runs with frozen BN statistics, so batch composition cannot change
+    any value; assembly indices are static.
+    """
+    from ..models import denseunet2d, denseunet3d
+    from ..models.hybrid import LOGIT_AMPLIFICATION, hff_head
+
+    x, y, zp = vol.shape
+    n_batches, wb = starts.shape
+    dtype = jnp.dtype(compute_dtype)
+    vol = vol.astype(dtype)
+    inner = cols - 2
+
+    kw2d = dict(denseunet2d.PRESETS[preset])
+    kw3d = dict(denseunet3d.PRESETS[preset])
+
+    NI = (wb - 1) * stride + cols - 2  # unique interior stack centers per run
+    # static assembly map: window j, position p -> index into the 2D batch
+    asm = np.zeros((wb, cols), np.int32)
+    for j in range(wb):
+        asm[j, 0] = NI + j  # first-edge stack of window j
+        asm[j, cols - 1] = NI + wb + j  # last-edge stack
+        for p in range(1, cols - 1):
+            asm[j, p] = stride * j + p - 1
+    asm = jnp.asarray(asm)
+
+    score0 = jnp.zeros((x, y, zp, num_classes), jnp.float32)
+    count0 = jnp.zeros((zp,), jnp.float32)
+
+    def body(i, carry):
+        score, count = carry
+        s_i = starts[i]
+        w_i = weights[i]
+        s0 = s_i[0]
+
+        # interior stacks: centers s0+1 .. s0+NI (volume neighbors).
+        # mode='clip': padding (weight-0) windows in right-aligned runs can
+        # index past the crop; jnp.take's default OOB mode fills NaN, and
+        # 0 * NaN would poison the accumulator. Clipped reads only ever feed
+        # weight-0 windows (real windows satisfy start <= z - cols).
+        take = lambda idx: jnp.take(vol, idx, axis=2, mode="clip")
+        c_idx = s0 + 1 + jnp.arange(NI)
+        interior = jnp.stack(
+            [take(c_idx - 1), take(c_idx), take(c_idx + 1)], axis=-1
+        )  # (x, y, NI, 3)
+        # edge stacks per window (reference z-boundary replication)
+        first = jnp.stack(
+            [take(s_i), take(s_i), take(s_i + 1)], axis=-1
+        )  # (x, y, wb, 3)
+        last = jnp.stack(
+            [take(s_i + cols - 2), take(s_i + cols - 1), take(s_i + cols - 1)],
+            axis=-1,
+        )
+        stacks = jnp.concatenate([interior, first, last], axis=2)
+        stacks = jnp.transpose(stacks, (2, 0, 1, 3))  # (NI+2wb, x, y, 3)
+        if mesh is not None:
+            stacks = lax.with_sharding_constraint(
+                stacks,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+            )
+
+        ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
+        feat2d, logits2d = denseunet2d.apply(
+            ctx, stacks, bn_frozen=True, decoder_dropout=0.0,
+            num_classes=num_classes, **kw2d,
+        )
+        # assemble per-window volumes via the static index map
+        res_w = jnp.transpose(logits2d[asm], (0, 2, 3, 1, 4))  # (wb,x,y,cols,C)
+        fea_w = jnp.transpose(feat2d[asm], (0, 2, 3, 1, 4))  # (wb,x,y,cols,F)
+        vol_w = jax.vmap(
+            lambda s: lax.dynamic_slice(vol, (0, 0, s), (x, y, cols))
+        )(s_i)[..., None]
+
+        input3d = jnp.concatenate([vol_w, res_w * LOGIT_AMPLIFICATION], axis=-1)
+        feat3d, _ = denseunet3d.apply(ctx, input3d, num_classes=num_classes, **kw3d)
+        logits = hff_head(ctx, feat3d, fea_w, arch=arch, num_classes=num_classes)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
+
+        def acc(j, carry2):
+            sc, cn = carry2
+            sj = s_i[j] + 1
+            pj = lax.dynamic_index_in_dim(probs, j, axis=0, keepdims=False)
+            blk = lax.dynamic_slice(sc, (0, 0, sj, 0), (x, y, inner, num_classes))
+            sc = lax.dynamic_update_slice(sc, blk + w_i[j] * pj, (0, 0, sj, 0))
+            cblk = lax.dynamic_slice(cn, (sj,), (inner,))
+            cn = lax.dynamic_update_slice(cn, cblk + w_i[j], (sj,))
+            return sc, cn
+
+        return lax.fori_loop(0, wb, acc, (score, count))
+
+    score, count = lax.fori_loop(0, n_batches, body, (score0, count0))
+    score = score / (count[None, None, :, None] + 1e-4)
+    if output == "packed":
+        return _pack_labels(score, thresholds[0], thresholds[1], num_classes=num_classes)
+    if output == "digest":
+        return _summarize(score)
+    return score

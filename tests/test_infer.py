@@ -350,3 +350,48 @@ def test_device_scorer_sharded_over_mesh_matches_single(tiny_hybrid):
     l2, t2 = sharded.predict_volume(vol, 2, 26)
     np.testing.assert_allclose(l1, l2, atol=1e-5)
     np.testing.assert_allclose(t1, t2, atol=1e-5)
+
+
+def test_dedup2d_exact_vs_no_dedup(tiny_hybrid):
+    """In-batch 2D dedup over stride-aligned runs is EXACT (frozen 2D BNs
+    make batch composition irrelevant) — bit-parity with the naive grid."""
+    import dataclasses
+
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    base = InferConfig(input_size=32, input_cols=8, window_batch=4)
+    vol = np.random.default_rng(13).normal(0, 50, (32, 32, 30)).astype(np.float32)
+    on = DeviceVolumeScorer(params, bn_state, base, preset="tiny", z_bucket=16)
+    off_cfg = dataclasses.replace(base, dedup_2d=False)
+    off = DeviceVolumeScorer(params, bn_state, off_cfg, preset="tiny", z_bucket=16)
+    l1, t1 = on.predict_volume(vol, 3, 27)
+    l2, t2 = off.predict_volume(vol, 3, 27)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    np.testing.assert_allclose(t1, t2, atol=1e-6)
+
+
+def test_make_grid_structured_invariants():
+    from hdenseunet_tpu.core.config import InferConfig
+    from hdenseunet_tpu.infer.device_pipeline import make_grid_structured
+    from hdenseunet_tpu.infer.sliding_window import window_starts
+
+    cfg = InferConfig()
+    for z, lo, hi, wb in [(192, 38, 153, 8), (40, 0, 39, 4), (33, 5, 30, 3), (100, 90, 99, 2)]:
+        sl = window_starts(z, lo, hi, cfg)
+        base = min(sl)
+        shifted = [s - base for s in sl]
+        st, w = make_grid_structured(shifted, wb, cfg.window_stride)
+        # arithmetic runs
+        for r in range(len(st)):
+            for j in range(wb - 1):
+                assert st[r, j + 1] - st[r, j] == cfg.window_stride
+        # weights reproduce multiplicities exactly once
+        got = {}
+        for r in range(len(st)):
+            for j in range(wb):
+                got[int(st[r, j])] = got.get(int(st[r, j]), 0) + w[r, j]
+        want = {s: shifted.count(s) for s in set(shifted)}
+        assert all(got.get(s, 0) == want[s] for s in want)
+        assert all(v == 0 or k in want for k, v in got.items())
+        assert st.min() >= 0
