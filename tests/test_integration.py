@@ -75,3 +75,46 @@ def test_2d_stage_learns_and_dice_improves(tmp_path):
     truth = seg[:, :, z]
     d = metrics.dice_per_class(pred, truth)
     assert d["liver"] > 0.6, d  # random init scores ~0.0-0.2 here
+
+
+@pytest.mark.slow
+def test_hybrid_3dpart_stage_loss_decreases(tmp_path):
+    """Hybrid fine-tune stage: frozen 2D branch, boundary-masked loss — the
+    loss must fall on synthetic data (train_hybrid.py recipe end-to-end)."""
+    root = preprocess.synthesize(
+        tmp_path / "prep", num_volumes=2, shape=(64, 64, 24), seed=21
+    )
+    ds = preprocess.PreparedDataset(root)
+
+    cfg = Config()
+    cfg.model.preset = "tiny"
+    cfg.model.input_size = 64
+    cfg.model.input_cols = 8
+    cfg.train.arch = "3dpart"
+    cfg.train.batch = 8
+    cfg.train.lr = 0.01
+    cfg.train.remat = False
+
+    sampler = CropSampler(
+        ds, cfg.data, mode="hybrid", input_size=64, input_cols=8, seed=3
+    )
+    mesh = make_mesh()
+    ts, tx, _ = trainer.create_train_state(None, cfg, "3dpart")
+    frozen_2d = jax.tree.map(lambda x: np.asarray(x), ts.params["conv1"])
+    step = trainer.make_train_step(tx, cfg, mesh, "3dpart")
+    bsh = batch_sharding(mesh)
+
+    losses = []
+    for _ in range(25):
+        batch = sampler.sample_batch(cfg.train.batch)
+        db = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        ts, loss = step(ts, db)
+        losses.append(float(loss))
+
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), (losses[:5], losses[-5:])
+    # the 2D branch must not have moved (3dpart freezes it entirely)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        frozen_2d,
+        ts.params["conv1"],
+    )
