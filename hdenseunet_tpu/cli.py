@@ -102,7 +102,7 @@ def cmd_train(args):
 
     init_params = None
     if args.init_from:
-        init_params = wconv.load_npz_checkpoint(args.init_from)
+        init_params = wconv.load_init_weights(args.init_from)
     trainer.train(
         cfg,
         batches,
@@ -137,9 +137,14 @@ def cmd_test(args):
             )
         else:
             ckpt = ckpt_lib.Checkpointer(args.weights)
-            restored = ckpt.restore_latest(ts)
+            restored = (
+                ckpt.restore_best(ts) if args.restore == "best"
+                else ckpt.restore_latest(ts)
+            )
             if restored is None:
-                raise SystemExit(f"no checkpoint under {args.weights}")
+                raise SystemExit(
+                    f"no {args.restore} checkpoint under {args.weights}"
+                )
             params, bn_state = restored.params, restored.bn_state
     predictor.predict_directory(
         params,
@@ -172,9 +177,12 @@ def cmd_export_weights(args):
     cfg = _load_config(args.config, dict(args.set or []))
     cfg.train.arch = args.arch
     ts, _, _ = trainer.create_train_state(None, cfg, args.arch)
-    restored = ckpt_lib.Checkpointer(args.checkpoint).restore_latest(ts)
+    ckpt = ckpt_lib.Checkpointer(args.checkpoint)
+    restored = (
+        ckpt.restore_best(ts) if args.restore == "best" else ckpt.restore_latest(ts)
+    )
     if restored is None:
-        raise SystemExit(f"no checkpoint under {args.checkpoint}")
+        raise SystemExit(f"no {args.restore} checkpoint under {args.checkpoint}")
     wconv.save_keras_hdf5(args.dst, restored.params, restored.bn_state)
     n = sum(len(v) for v in restored.params.values())
     print(f"exported {n} weight arrays (+BN stats) -> {args.dst}")
@@ -231,7 +239,9 @@ def build_parser():
     sp.add_argument("--max-steps", type=int, default=None)
     sp.add_argument("--checkpoint-dir", default=None)
     sp.add_argument("--resume", action="store_true")
-    sp.add_argument("--init-from", default=None, help="converted .npz weights")
+    sp.add_argument("--init-from", default=None,
+                    help="warm-start weights: converted .npz OR an orbax "
+                         "checkpoint dir from a previous stage")
     sp.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VAL"),
                     help="config override, e.g. --set model.preset tiny")
     sp.set_defaults(fn=cmd_train)
@@ -241,6 +251,8 @@ def build_parser():
     sp.add_argument("--livermask", required=True)
     sp.add_argument("--save-path", default="results")
     sp.add_argument("--weights", default=None, help=".npz or checkpoint dir")
+    sp.add_argument("--restore", choices=["latest", "best"], default="latest",
+                    help="which checkpoint to restore from a checkpoint dir")
     sp.add_argument("--config", default=None)
     sp.add_argument("--arch", choices=["3dpart", "end2end"], default="end2end")
     sp.add_argument("--num-volumes", type=int, default=None)
@@ -260,6 +272,7 @@ def build_parser():
     sp = sub.add_parser("export-weights", help="orbax checkpoint -> Keras HDF5")
     sp.add_argument("checkpoint", help="checkpoint directory")
     sp.add_argument("dst", help="output .h5 path")
+    sp.add_argument("--restore", choices=["latest", "best"], default="latest")
     sp.add_argument("--arch", choices=["2d", "3dpart", "end2end"], default="2d")
     sp.add_argument("--config", default=None)
     sp.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VAL"))

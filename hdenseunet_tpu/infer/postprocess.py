@@ -21,10 +21,16 @@ from scipy import ndimage
 
 
 def largest_component(mask: np.ndarray) -> np.ndarray:
-    """Boolean mask of the largest 26(or 8)-unconnected... default-connectivity
-    component (scipy default: orthogonal connectivity, same as skimage
-    measure.label default in the reference's skimage version)."""
-    labels, num = ndimage.label(mask)
+    """Boolean mask of the largest FULL-connectivity component (26-connected
+    in 3D, 8-connected in 2D).
+
+    The reference's ``skimage.measure.label`` (test.py:84-104) defaults to
+    full connectivity (connectivity = ndim); scipy's ``ndimage.label`` default
+    is orthogonal-only, so the structuring element is passed explicitly to
+    match — diagonally-touching components the reference merges must merge
+    here too, or the 'largest' pick can differ."""
+    structure = ndimage.generate_binary_structure(mask.ndim, mask.ndim)
+    labels, num = ndimage.label(mask, structure=structure)
     if num == 0:
         return np.zeros_like(mask, dtype=bool)
     sizes = np.bincount(labels.ravel())

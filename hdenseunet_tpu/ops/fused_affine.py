@@ -53,10 +53,44 @@ def _affine_relu_pallas(x2, scale, shift, *, relu: bool, interpret: bool = False
     )(x2, scale, shift)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _affine_relu_2d(x2, scale, shift, relu: bool, interpret: bool):
+    """Differentiable fused affine(+ReLU) over (N, C) rows.
+
+    Pallas has no reverse-mode autodiff, so the backward pass is supplied
+    explicitly (plain XLA — it is a fully-fusable elementwise+reduce chain):
+        dx = g·mask·a,  da = Σ g·mask·x,  db = Σ g·mask,  mask = [y > 0].
+    Gradients w.r.t. the folded (a, b) flow back through ``fold_bn_scale`` to
+    the raw BN/Scale parameters via ordinary autodiff, so training through the
+    frozen-stats fused path (hybrid 3dpart/end2end) works on real TPUs.
+    """
+    return _affine_relu_pallas(x2, scale, shift, relu=relu, interpret=interpret)
+
+
+def _affine_relu_2d_fwd(x2, scale, shift, relu: bool, interpret: bool):
+    y = _affine_relu_pallas(x2, scale, shift, relu=relu, interpret=interpret)
+    return y, (x2, scale, y)
+
+
+def _affine_relu_2d_bwd(relu: bool, interpret: bool, res, g):
+    x2, scale, y = res
+    if relu:
+        g = jnp.where(y > 0, g, jnp.zeros((), g.dtype))
+    dx = g * scale
+    gf = g.astype(jnp.float32)
+    dscale = jnp.sum(gf * x2.astype(jnp.float32), axis=0, keepdims=True)
+    dshift = jnp.sum(gf, axis=0, keepdims=True)
+    return dx, dscale.astype(scale.dtype), dshift.astype(scale.dtype)
+
+
+_affine_relu_2d.defvjp(_affine_relu_2d_fwd, _affine_relu_2d_bwd)
+
+
 def affine_relu(x, scale, shift, *, relu: bool = True, interpret: bool = False):
     """relu(x * scale + shift) with per-channel (last-axis) scale/shift.
 
     x: (..., C); scale/shift: (C,). Dispatches Pallas on TPU, XLA elsewhere.
+    Differentiable on both paths (custom VJP backs the Pallas kernel).
     """
     scale = scale.astype(x.dtype)
     shift = shift.astype(x.dtype)
@@ -66,9 +100,7 @@ def affine_relu(x, scale, shift, *, relu: bool = True, interpret: bool = False):
     c = x.shape[-1]
     orig_shape = x.shape
     x2 = x.reshape(-1, c)
-    out = _affine_relu_pallas(
-        x2, scale.reshape(1, c), shift.reshape(1, c), relu=relu, interpret=interpret
-    )
+    out = _affine_relu_2d(x2, scale.reshape(1, c), shift.reshape(1, c), relu, interpret)
     return out.reshape(orig_shape)
 
 

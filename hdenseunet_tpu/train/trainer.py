@@ -221,8 +221,17 @@ class MetricsLogger:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.slices_per_sample = slices_per_sample
         self._epoch_losses: list[float] = []
+        self._last_epoch_loss: float | None = None
         self._t0 = time.perf_counter()
         self._samples = 0
+
+    def last_loss(self) -> float | None:
+        """Monitored value for checkpoint-best (reference ModelCheckpoint
+        monitors the running epoch loss, callbacks.py:335-430): mean loss of
+        the epoch in progress, else the completed epoch's mean."""
+        if self._epoch_losses:
+            return float(np.mean(self._epoch_losses))
+        return self._last_epoch_loss
 
     def log_step(self, loss: float, batch_size: int):
         self._epoch_losses.append(float(loss))
@@ -233,8 +242,11 @@ class MetricsLogger:
     def end_epoch(self) -> dict:
         dt = max(time.perf_counter() - self._t0, 1e-9)
         n_dev = jax.device_count()
+        self._last_epoch_loss = (
+            float(np.mean(self._epoch_losses)) if self._epoch_losses else None
+        )
         stats = {
-            "loss": float(np.mean(self._epoch_losses)) if self._epoch_losses else float("nan"),
+            "loss": self._last_epoch_loss if self._last_epoch_loss is not None else float("nan"),
             "samples_per_sec": self._samples / dt,
             "slices_per_sec_per_chip": self._samples * self.slices_per_sample / dt / n_dev,
         }
@@ -294,10 +306,16 @@ def train(
 
     k = max(1, cfg.train.steps_per_dispatch)
     if k > 1:
-        step_fn = make_multi_step(tx, cfg, mesh, arch, k=k)
+        multi_fn = make_multi_step(tx, cfg, mesh, arch, k=k)
         multi_bsh = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
-    else:
-        step_fn = make_train_step(tx, cfg, mesh, arch)
+    single_fn = None  # built lazily: only needed for k==1 or a partial tail
+
+    def get_single():
+        nonlocal single_fn
+        if single_fn is None:
+            single_fn = make_train_step(tx, cfg, mesh, arch)
+        return single_fn
+
     bsh = batch_sharding(mesh)
     slices = cfg.model.input_cols if arch != "2d" else 1
     metrics = MetricsLogger(cfg.train.save_path, slices_per_sample=slices)
@@ -310,47 +328,79 @@ def train(
     pending: list = []  # device loss scalars; drained at the log cadence so the
     # host never syncs per step (async dispatch stays ahead of the TPU)
 
-    def dispatches():
-        """Yield (step_count, device_args) per dispatch (k batches stacked)."""
+    def batch_groups():
+        """Yield lists of <=k host batches; a trailing partial group is kept."""
         if k == 1:
             for batch in batch_iterator:
-                yield 1, {
-                    key: jax.device_put(np.asarray(v), bsh)
-                    for key, v in batch.items()
-                }
+                yield [batch]
             return
         group: list = []
         for batch in batch_iterator:
             group.append(batch)
             if len(group) == k:
-                stacked = stack_batches(group)
+                yield group
                 group = []
-                yield k, {
-                    key: jax.device_put(v, multi_bsh) for key, v in stacked.items()
-                }
+        if group:
+            yield group
+
+    def drain(at_step: int):
+        """Sync + NaN-check every pending loss. Called at the log cadence and
+        ALWAYS before a checkpoint save, so a poisoned state can never be
+        persisted no matter how the cadences align (SURVEY §5 failure
+        detection; a NaN raises here before the save below runs)."""
+        for val in pending:
+            v = float(val)
+            nan_guard.check(v, at_step)
+            metrics.log_step(v, cfg.train.batch)
+        pending.clear()
 
     step = 0
-    for n_steps, device_batch in dispatches():
+    for group in batch_groups():
         if step >= total:
             break
-        ts, loss = step_fn(ts, device_batch)
-        pending.extend(jnp.atleast_1d(loss))
-        step += n_steps
-        if step % cfg.train.log_every_steps == 0 or step == total or step % steps_per_epoch == 0:
-            for val in pending:
-                v = float(val)
-                nan_guard.check(v, step)
-                metrics.log_step(v, cfg.train.batch)
-            pending.clear()
-        if step % steps_per_epoch == 0:
+        remaining = total - step
+        if k > 1 and len(group) == k and remaining >= k:
+            stacked = stack_batches(group)
+            device_batch = {
+                key: jax.device_put(v, multi_bsh) for key, v in stacked.items()
+            }
+            ts, loss = multi_fn(ts, device_batch)
+            pending.extend(jnp.atleast_1d(loss))
+            n_steps = k
+        else:
+            # partial tail group, or a full group that would overshoot
+            # max_steps: run clamped single steps so `step` never exceeds
+            # `total` and no sampled batch is silently dropped.
+            fn = get_single()
+            n_steps = 0
+            for batch in group[:remaining]:
+                device_batch = {
+                    key: jax.device_put(np.asarray(v), bsh)
+                    for key, v in batch.items()
+                }
+                ts, loss = fn(ts, device_batch)
+                pending.append(loss)
+                n_steps += 1
+        prev, step = step, step + n_steps
+
+        def crossed(n: int) -> bool:
+            # fires iff a multiple of n lies in (prev, step] — robust to
+            # k-step jumps where `step % n == 0` may never hold
+            return step // n > prev // n
+
+        if crossed(cfg.train.log_every_steps) or step >= total or crossed(steps_per_epoch):
+            drain(step)
+        if crossed(steps_per_epoch):
             stats = metrics.end_epoch()
             log_fn(
                 f"epoch {step // steps_per_epoch}: loss={stats['loss']:.4f} "
                 f"({stats['slices_per_sec_per_chip']:.1f} slices/s/chip)"
             )
-        if ckpt is not None and step % cfg.train.checkpoint_every_steps == 0:
-            ckpt.save(int(ts.step), ts)
+        if ckpt is not None and crossed(cfg.train.checkpoint_every_steps):
+            drain(step)
+            ckpt.save(int(ts.step), ts, metric=metrics.last_loss())
     if ckpt is not None:
-        ckpt.save(int(ts.step), ts)
+        drain(step)
+        ckpt.save(int(ts.step), ts, metric=metrics.last_loss())
         ckpt.wait()
     return ts

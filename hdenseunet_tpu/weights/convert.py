@@ -179,6 +179,47 @@ def load_npz_checkpoint(path) -> dict:
     return out
 
 
+def load_checkpoint_weights(ckpt_dir, *, best: bool = False) -> dict:
+    """Orbax checkpoint dir -> {layer: {leaf: array}} warm-start weights.
+
+    Template-free restore of the newest (or best-loss, ``best=True``) step;
+    params and BN statistics are merged into the same by-name layout
+    ``load_npz_checkpoint`` produces, so cross-stage warm starts (reference
+    `train_hybrid.py:146` seeding the hybrid from a 2D run) accept a training
+    checkpoint directory directly — no intermediate export/convert required.
+    """
+    import orbax.checkpoint as ocp
+
+    base = Path(ckpt_dir).absolute()
+    if best:
+        base = base / "best"
+    mgr = ocp.CheckpointManager(base)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no orbax checkpoint under {base}")
+    raw = mgr.restore(step, args=ocp.args.StandardRestore())
+    merged: dict[str, dict[str, np.ndarray]] = {}
+    for field in ("params", "bn_state"):
+        for lname, leaves in raw.get(field, {}).items():
+            merged.setdefault(lname, {}).update(
+                {k: np.asarray(v) for k, v in leaves.items()}
+            )
+    return merged
+
+
+def load_init_weights(path, *, best: bool = False) -> dict:
+    """Dispatch --init-from: .npz file or orbax checkpoint directory."""
+    p = Path(path)
+    if p.is_dir():
+        return load_checkpoint_weights(p, best=best)
+    if p.suffix == ".npz":
+        return load_npz_checkpoint(p)
+    raise SystemExit(
+        f"--init-from expects a converted .npz or an orbax checkpoint "
+        f"directory, got: {path}"
+    )
+
+
 def save_keras_hdf5(path, params, state) -> None:
     """Write (params, state) in Keras-2.0.8 by-name HDF5 layout.
 

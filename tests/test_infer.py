@@ -116,6 +116,30 @@ def test_largest_component():
     assert postprocess.largest_component(np.zeros((3, 3, 3), bool)).sum() == 0
 
 
+def test_largest_component_full_connectivity():
+    """skimage measure.label's default (reference test.py:84-104) is FULL
+    connectivity: 26-connected in 3D. Two diagonally-touching blobs are ONE
+    component there; orthogonal-only labeling would split them and pick the
+    wrong 'largest' here (round-1 advisor medium)."""
+    m = np.zeros((12, 12, 12), bool)
+    # blob A (27 voxels) diagonally touching blob B (27 voxels) at one corner
+    m[0:3, 0:3, 0:3] = True
+    m[3:6, 3:6, 3:6] = True
+    # separate blob C (32 voxels): bigger than either half, smaller than A+B
+    m[8:12, 8:12, 8:10] = True
+    cc = postprocess.largest_component(m)
+    assert cc.sum() == 54  # A+B merged under 26-connectivity
+    assert cc[0, 0, 0] and cc[5, 5, 5] and not cc[9, 9, 9]
+
+    # 2D: 8-connectivity merges diagonal pixels
+    m2 = np.zeros((6, 6), bool)
+    m2[0, 0] = m2[1, 1] = m2[2, 2] = True
+    m2[4:6, 0:2] = True  # 4-voxel orthogonal blob
+    assert postprocess.largest_component(m2).sum() == 4
+    m2[3, 3] = m2[4, 4] = True  # diagonal chain now 5 long
+    assert postprocess.largest_component(m2).sum() == 5
+
+
 def test_compose_labelmap_semantics():
     shape = (24, 24, 10)
     liver_prob = np.zeros(shape, np.float32)

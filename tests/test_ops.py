@@ -39,6 +39,83 @@ def test_affine_relu_bfloat16():
     )
 
 
+@pytest.mark.parametrize("relu", [True, False])
+def test_affine_relu_grad_matches_xla(relu):
+    """The Pallas kernel's custom VJP (grads for x AND the folded scale/shift)
+    must equal autodiff through the plain XLA formulation — this is the
+    gradient path of hybrid 3dpart/end2end training, where the 2D branch runs
+    with frozen BN stats through the fused kernel (ADVICE round-1 high)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(6, 5, 16)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=16).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=16).astype(np.float32))
+
+    def f_pallas(x, a, b):
+        return jnp.sum(affine_relu(x, a, b, relu=relu, interpret=True) ** 2)
+
+    def f_xla(x, a, b):
+        y = x * a + b
+        if relu:
+            y = jnp.maximum(y, 0)
+        return jnp.sum(y**2)
+
+    g_got = jax.grad(f_pallas, argnums=(0, 1, 2))(x, a, b)
+    g_ref = jax.grad(f_xla, argnums=(0, 1, 2))(x, a, b)
+    for got, ref in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bn_scale_relu_frozen_grad_through_pallas(monkeypatch):
+    """End-to-end: grads flow through bn_scale_relu's fused frozen path into
+    the raw BN/Scale parameters (via fold_bn_scale) with the Pallas kernel
+    forced on (interpret mode on CPU) — matching the XLA-fallback gradients.
+    Guards the hybrid-training-on-TPU trace failure from the round-1 review."""
+    import functools
+
+    from hdenseunet_tpu.core.module import Ctx
+    from hdenseunet_tpu.models.layers import bn_scale_relu
+    from hdenseunet_tpu.ops import fused_affine
+
+    rng = np.random.default_rng(8)
+    c = 12
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, c)).astype(np.float32))
+    params = {
+        "bn": {
+            "gamma": jnp.asarray(rng.normal(size=c), jnp.float32),
+            "beta": jnp.asarray(rng.normal(size=c), jnp.float32),
+        },
+        "sc": {
+            "gamma": jnp.asarray(rng.normal(size=c), jnp.float32),
+            "beta": jnp.asarray(rng.normal(size=c), jnp.float32),
+        },
+    }
+    state = {
+        "bn": {
+            "moving_mean": jnp.asarray(rng.normal(size=c), jnp.float32),
+            "moving_variance": jnp.asarray(rng.uniform(0.5, 2, c), jnp.float32),
+        }
+    }
+
+    def loss(p):
+        ctx = Ctx(p, state, train=True, rng=None)
+        return jnp.sum(bn_scale_relu(ctx, x, "bn", "sc", frozen=True) ** 2)
+
+    g_ref = jax.grad(loss)(params)  # XLA fallback path
+    monkeypatch.setattr(
+        fused_affine, "affine_relu",
+        functools.partial(fused_affine.affine_relu, interpret=True),
+    )
+    g_got = jax.grad(loss)(params)  # Pallas kernel (interpret) path
+    for lname in params:
+        for leaf in params[lname]:
+            np.testing.assert_allclose(
+                np.asarray(g_got[lname][leaf]),
+                np.asarray(g_ref[lname][leaf]),
+                atol=1e-4,
+                err_msg=f"{lname}/{leaf}",
+            )
+
+
 def test_fold_bn_scale_equals_sequential():
     rng = np.random.default_rng(2)
     c = 12

@@ -298,3 +298,142 @@ def test_trainer_train_loop_with_checkpoint_and_multistep(tmp_path):
     )
     assert any("resumed from step 4" in m for m in logs2), logs2[:2]
     assert int(ts2.step) == 6
+
+
+def test_trainer_partial_tail_and_overshoot_clamp(tmp_path):
+    """With steps_per_dispatch k=2: a finite iterator's trailing partial group
+    must still train, and max_steps is never overshot (round-1 advisor low)."""
+    from itertools import islice
+
+    from hdenseunet_tpu.data.sampler import synthetic_batches
+
+    cfg = _tiny_cfg()
+    cfg.train.remat = False
+    cfg.train.steps_per_dispatch = 2
+    cfg.train.steps_per_epoch = 100
+    cfg.train.log_every_steps = 100
+    cfg.train.save_path = str(tmp_path / "exp")
+
+    # 5 batches, k=2 -> groups [2,2,1]; the final 1 must not be dropped
+    it = islice(synthetic_batches(mode="2d", batch=8, input_size=32, seed=3), 5)
+    ts = trainer.train(cfg, it, max_steps=100)
+    assert int(ts.step) == 5
+
+    # max_steps=3 with k=2 -> exactly 3 steps, not 4
+    cfg.train.save_path = str(tmp_path / "exp2")
+    it = islice(synthetic_batches(mode="2d", batch=8, input_size=32, seed=4), 10)
+    ts = trainer.train(cfg, it, max_steps=3)
+    assert int(ts.step) == 3
+    # losses for ALL 3 steps were logged (drain at step>=total fired)
+    lossbatch = (tmp_path / "exp2" / "history" / "lossbatch.txt").read_text()
+    assert lossbatch.count("\n") == 3
+
+
+def test_trainer_epoch_logging_coprime_with_dispatch(tmp_path):
+    """steps_per_epoch=3 coprime with k=2: epoch boundaries fall mid-dispatch
+    and must still fire via crossed-boundary checks (round-1 advisor low)."""
+    from itertools import islice
+
+    from hdenseunet_tpu.data.sampler import synthetic_batches
+
+    cfg = _tiny_cfg()
+    cfg.train.remat = False
+    cfg.train.steps_per_dispatch = 2
+    cfg.train.steps_per_epoch = 3
+    cfg.train.log_every_steps = 3
+    cfg.train.save_path = str(tmp_path / "exp")
+
+    logs = []
+    it = islice(synthetic_batches(mode="2d", batch=8, input_size=32, seed=5), 6)
+    ts = trainer.train(cfg, it, max_steps=6, log_fn=logs.append)
+    assert int(ts.step) == 6
+    assert any("epoch 1" in m for m in logs), logs
+    assert any("epoch 2" in m for m in logs), logs
+    assert (tmp_path / "exp" / "history" / "lossepoch.txt").read_text().count("\n") == 2
+
+
+def test_nan_loss_prevents_checkpoint_save(tmp_path):
+    """A NaN at step 1 must raise BEFORE any checkpoint save, regardless of
+    log/checkpoint cadence alignment (VERDICT round-1 weak #5)."""
+    from hdenseunet_tpu.train import checkpoint as ckpt_lib
+
+    cfg = _tiny_cfg()
+    cfg.train.remat = False
+    cfg.train.steps_per_dispatch = 1
+    cfg.train.steps_per_epoch = 100
+    cfg.train.log_every_steps = 50  # NaN would lag 49 steps at the old cadence
+    cfg.train.checkpoint_every_steps = 2
+    cfg.train.save_path = str(tmp_path / "exp")
+
+    def poisoned():
+        rng = np.random.default_rng(6)
+        while True:
+            b = _batch(rng, cfg, "2d")
+            b["image"] = np.full_like(b["image"], np.nan)
+            yield b
+
+    ck_dir = tmp_path / "ck"
+    with pytest.raises(FloatingPointError):
+        trainer.train(cfg, poisoned(), max_steps=10, checkpoint_dir=str(ck_dir))
+    assert ckpt_lib.Checkpointer(str(ck_dir)).all_steps() == []
+
+
+def test_checkpointer_keeps_best(tmp_path):
+    """Best-loss retention survives late degradation (reference
+    ModelCheckpoint monitor/save_best_only, callbacks.py:335-430)."""
+    from hdenseunet_tpu.train.checkpoint import Checkpointer
+
+    def state(v):
+        return {"w": jnp.full((3,), float(v))}
+
+    ck = Checkpointer(str(tmp_path / "ck"), max_to_keep=2)
+    ck.save(1, state(1), metric=0.9)
+    ck.save(2, state(2), metric=0.4)   # best
+    ck.save(3, state(3), metric=0.7)   # degrades late
+    ck.save(4, state(4), metric=0.8)
+    ck.wait()
+
+    assert ck.best_step() == 2
+    best = ck.restore_best(state(0))
+    assert float(best["w"][0]) == 2.0
+    latest = ck.restore_latest(state(0))
+    assert float(latest["w"][0]) == 4.0
+    # rolling retention still prunes old non-best steps
+    assert ck.all_steps() == [3, 4]
+
+    # a fresh Checkpointer over the same dir resumes the best-seen metric
+    ck2 = Checkpointer(str(tmp_path / "ck"), max_to_keep=2)
+    ck2.save(5, state(5), metric=0.6)  # worse than 0.4: must NOT displace best
+    ck2.wait()
+    assert ck2.best_step() == 2
+
+
+def test_load_init_weights_from_checkpoint_dir(tmp_path):
+    """--init-from accepts an orbax checkpoint directory: weights+BN stats are
+    returned in the converter's by-name layout (round-1 advisor low: the
+    documented cross-stage warm start must work with a checkpoint dir)."""
+    from itertools import islice
+
+    from hdenseunet_tpu.data.sampler import synthetic_batches
+    from hdenseunet_tpu.weights import convert as wconv
+
+    cfg = _tiny_cfg()
+    cfg.train.remat = False
+    cfg.train.steps_per_dispatch = 1
+    cfg.train.steps_per_epoch = 100
+    cfg.train.save_path = str(tmp_path / "exp")
+    ck_dir = tmp_path / "ck"
+    it = islice(synthetic_batches(mode="2d", batch=8, input_size=32, seed=7), 2)
+    ts = trainer.train(cfg, it, max_steps=2, checkpoint_dir=str(ck_dir))
+
+    raw = wconv.load_init_weights(str(ck_dir))
+    assert "conv1" in raw and "kernel" in raw["conv1"]
+    np.testing.assert_array_equal(
+        raw["conv1"]["kernel"], np.asarray(ts.params["conv1"]["kernel"])
+    )
+    # BN statistics ride along for exact warm starts
+    any_bn = next(k for k in raw if "moving_mean" in raw[k])
+    assert raw[any_bn]["moving_mean"].shape[0] > 0
+
+    with pytest.raises(SystemExit):
+        wconv.load_init_weights(str(tmp_path / "nope.txt"))
