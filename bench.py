@@ -80,6 +80,13 @@ def main():
     dt = min(times)
     assert np.all(np.isfinite(digest)), digest
 
+    # MFU: analytic conv FLOPs the compiled program executes (incl. weight-0
+    # padding windows) / time / chip bf16 peak — the perf-regression metric
+    # the latency headline alone can't provide through +-40% tunnel noise
+    from hdenseunet_tpu.utils.flops import peak_flops_per_chip
+
+    flops = scorer.estimate_flops(vol.shape, mini_z, maxi_z)
+    peak = peak_flops_per_chip() * jax.device_count()
     print(
         json.dumps(
             {
@@ -87,6 +94,9 @@ def main():
                 "value": round(dt, 3),
                 "unit": "s/volume",
                 "vs_baseline": round(BASELINE_SEC_PER_VOLUME / max(dt, 1e-9), 2),
+                "model_tflops": round(flops / 1e12, 2),
+                "achieved_tflops": round(flops / dt / 1e12, 2),
+                "mfu": round(flops / dt / peak, 4),
             }
         )
     )

@@ -4,6 +4,18 @@ Measures the jitted data-parallel train step for each stage on whatever
 devices are visible, with synthetic batches (no disk IO), reporting
 slices/sec/chip — BASELINE.md's training-side metric.
 
+Two modes (the reference always chains — Keras train_on_batch feeds the
+updated weights into the next step, training.py:1715):
+
+* default (chained): each dispatch consumes the previous dispatch's output
+  TrainState — the honest end-to-end training number;
+* --unchained: every dispatch reuses the initial state — isolates pure step
+  compute from the state-feedback cost (on this image's tunneled backend the
+  feedback path round-trips the host link and dominates; on direct-attached
+  TPU hosts the two modes measure the same, see BENCH_NOTES.md).
+
+Protocol: min over --reps repetitions of the timed loop, run exclusively.
+
 Usage (run from the repo root; PYTHONPATH breaks the axon plugin):
     python benchmarks/train_throughput.py [--arch 2d] [--batch 8] [--steps 20]
 """
@@ -30,6 +42,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument(
+        "--unchained", action="store_true",
+        help="reuse the initial TrainState every dispatch (pure step compute)",
+    )
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -74,23 +91,34 @@ def main():
         batch = next(gen)
         db = {key: jax.device_put(v, bsh) for key, v in batch.items()}
 
+    ts0 = ts
     ts, loss = step(ts, db)  # compile
     print(f"compiled; warmup loss {float(np.asarray(loss).ravel()[-1]):.4f}", flush=True)
 
     n_dispatch = max(1, args.steps // k)
-    t0 = time.perf_counter()
-    for _ in range(n_dispatch):
-        ts, loss = step(ts, db)
-    final = float(np.asarray(loss).ravel()[-1])  # scalar d2h forces sync
-    dt = (time.perf_counter() - t0) / (n_dispatch * k)
-    assert np.isfinite(final)
+
+    def run_loop():
+        t = ts0
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            if args.unchained:
+                _, loss = step(ts0, db)
+            else:
+                t, loss = step(t, db)
+        final = float(np.asarray(loss).ravel()[-1])  # scalar d2h forces sync
+        assert np.isfinite(final)
+        return (time.perf_counter() - t0) / (n_dispatch * k)
+
+    dt = min(run_loop() for _ in range(max(1, args.reps)))
 
     n_dev = jax.device_count()
     slices = args.batch * (1 if args.arch == "2d" else args.input_cols)
+    mode = "unchained" if args.unchained else "chained"
     print(
         f"arch={args.arch} batch={args.batch} size={args.input_size} "
-        f"dtype={args.dtype} remat={cfg.train.remat} devices={n_dev}: "
-        f"{dt * 1e3:.1f} ms/step, {slices / dt / n_dev:.1f} slices/sec/chip"
+        f"dtype={args.dtype} remat={cfg.train.remat} k={k} mode={mode} "
+        f"devices={n_dev}: {dt * 1e3:.1f} ms/step, "
+        f"{slices / dt / n_dev:.1f} slices/sec/chip (min over {args.reps} reps)"
     )
 
 

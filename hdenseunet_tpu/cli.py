@@ -68,14 +68,23 @@ def cmd_train(args):
     from .data.pipeline import PrefetchIterator
     from .data.preprocess import PreparedDataset
     from .data.sampler import CropSampler, synthetic_batches
+    from .parallel import multihost
     from .train import trainer
     from .weights import convert as wconv
+
+    multihost.initialize()  # no-op unless a multi-process env is configured
+    import jax
 
     cfg = _load_config(args.config, dict(args.set or []))
     cfg.train.arch = args.arch
     if args.batch:
         cfg.train.batch = args.batch
     mode = "2d" if args.arch == "2d" else "hybrid"
+    # each process samples only its shard of the global batch, with a
+    # process-disjoint RNG stream; put_batch assembles the global array
+    feed_batch = multihost.local_batch_size(cfg.train.batch)
+    feed_seed = cfg.train.seed + jax.process_index()
+    log = print if multihost.is_primary() else (lambda *_a, **_k: None)
 
     if args.data:
         ds = PreparedDataset(args.data)
@@ -85,19 +94,20 @@ def cmd_train(args):
             mode=mode,
             input_size=cfg.model.input_size,
             input_cols=cfg.model.input_cols,
-            seed=cfg.train.seed,
+            seed=feed_seed,
         )
         batches = PrefetchIterator(
-            sampler.batches(cfg.train.batch), depth=cfg.data.prefetch_depth
+            sampler.batches(feed_batch, threads=cfg.data.crop_threads),
+            depth=cfg.data.prefetch_depth,
         )
     else:
-        print("no --data given: using synthetic batches (smoke mode)")
+        log("no --data given: using synthetic batches (smoke mode)")
         batches = synthetic_batches(
             mode=mode,
-            batch=cfg.train.batch,
+            batch=feed_batch,
             input_size=cfg.model.input_size,
             input_cols=cfg.model.input_cols,
-            seed=cfg.train.seed,
+            seed=feed_seed,
         )
 
     init_params = None
@@ -111,6 +121,7 @@ def cmd_train(args):
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         init_weights=init_params,
+        log_fn=log,
     )
 
 

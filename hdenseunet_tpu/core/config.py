@@ -28,6 +28,18 @@ class DataConfig:
         32, 34, 38, 41, 47, 87, 89, 91, 105, 106, 114, 115, 119,
     )
     box_dilation: int = 3  # liver bounding-box dilation (train_2ddense.py:151-156)
+    # liver bounding box support: 'liver' = label==1 voxels only (EXACT
+    # reference semantics, preprocessing.py:63-75 over the LiverPixels list);
+    # 'any' = label>=1 superset (opt-in deviation: also covers label-noise
+    # tumor voxels outside the label-1 support). Quantified in
+    # tests/test_data.py::test_box_mode_deviation_quantified.
+    box_labels: str = "liver"
+    # crop resize backend: 'cv2' (INTER_CUBIC/INTER_NEAREST Catmull-Rom
+    # family — fast default, documented deviation) | 'spline' (order-3/order-0
+    # B-spline via ndimage.zoom(grid_mode=True), the skimage.transform.resize
+    # family the reference uses, train_2ddense.py:96-97). Delta quantified in
+    # tests/test_data.py::test_resize_backend_deviation_quantified.
+    resize_backend: str = "cv2"
     scale_range: Tuple[float, float] = (0.8, 1.2)  # random crop scale (:48)
     liver_sample_prob: float = 0.5  # P(liver-guided) vs tumor-guided (:111-112)
     crop_threads: int = 8  # reference uses 14 (:33); host-dependent

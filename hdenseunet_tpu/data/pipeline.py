@@ -88,7 +88,17 @@ def device_prefetch(batch_iterator, mesh, *, depth: int = 2):
         yield buf.pop(0)
 
 
-def input_pipeline(sampler, global_batch: int, mesh, *, host_depth=4, device_depth=2):
-    """sampler.batches() -> threaded host prefetch -> sharded device prefetch."""
-    host = PrefetchIterator(sampler.batches(global_batch), depth=host_depth)
+def input_pipeline(
+    sampler, global_batch: int, mesh, *, host_depth=4, device_depth=2, threads=None
+):
+    """sampler.batches() -> threaded host prefetch -> sharded device prefetch.
+
+    ``threads`` (default: the sampler config's ``crop_threads``) fans the
+    per-sample crop work over a pool inside the producer.
+    """
+    if threads is None:
+        threads = getattr(getattr(sampler, "cfg", None), "crop_threads", 1)
+    host = PrefetchIterator(
+        sampler.batches(global_batch, threads=threads), depth=host_depth
+    )
     return device_prefetch(host, mesh, depth=device_depth)

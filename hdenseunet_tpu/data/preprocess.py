@@ -35,21 +35,31 @@ def clip_hu(vol: np.ndarray, lo: float = -200.0, hi: float = 250.0) -> np.ndarra
     return np.clip(vol, lo, hi).astype(np.float32)
 
 
-def extract_coords(seg: np.ndarray) -> dict:
+def extract_coords(seg: np.ndarray, *, box_labels: str = "liver") -> dict:
     """Liver/tumor voxel coordinate lists + liver bounding box.
 
     Replaces generate_livertxt/generate_tumortxt/generate_txt
-    (preprocessing.py:21-75). The reference computes the box from *liver*
-    (label==1) voxels only; tumor-inside-liver voxels are labeled 2, so the
-    box is computed over label >= 1 here — a strict superset that also covers
-    the (label-noise) case of tumor voxels outside the label-1 support. The
-    samplers clamp crops inside a dilated box anyway (train_2ddense.py:53-63).
+    (preprocessing.py:21-75). ``box_labels`` selects the bounding-box support:
+
+    * 'liver' (default, EXACT reference semantics): label==1 voxels only —
+      the reference's box is min/max over the LiverPixels list, which
+      generate_livertxt builds from np.where(seg==1) (preprocessing.py:21-39,
+      :63-75);
+    * 'any' (opt-in deviation, DataConfig.box_labels): label>=1 — a strict
+      superset that additionally covers label-noise tumor voxels outside the
+      label-1 support. Delta quantified in
+      tests/test_data.py::test_box_mode_deviation_quantified.
+
+    The sampled-coordinate lists themselves always follow the reference
+    (liver = label==1 because tumor-guided crops draw from the tumor list).
     """
-    liver = np.argwhere(seg >= 1).astype(np.int32)
+    assert box_labels in ("liver", "any"), box_labels
+    liver = np.argwhere(seg == 1).astype(np.int32)
     tumor = np.argwhere(seg == 2).astype(np.int32)
-    if liver.size:
-        box_min = liver.min(axis=0)
-        box_max = liver.max(axis=0)
+    support = liver if box_labels == "liver" or not tumor.size else np.concatenate([liver, tumor])
+    if support.size:
+        box_min = support.min(axis=0)
+        box_max = support.max(axis=0)
     else:
         box_min = np.zeros(3, np.int32)
         box_max = np.asarray(seg.shape, np.int32) - 1
@@ -77,7 +87,7 @@ def preprocess_volume(img_path, seg_path, out_dir, index: int, cfg: DataConfig |
         seg, _ = nifti.read(seg_path)
         seg = np.asarray(seg, np.int16)
         np.save(out / SEG_DIR / f"segmentation-{index}.npy", seg)
-        coords = extract_coords(seg)
+        coords = extract_coords(seg, box_labels=cfg.box_labels)
         np.savez_compressed(out / COORD_DIR / f"coords-{index}.npz", **coords)
     return vol.shape
 
@@ -163,7 +173,10 @@ def synthesize(out_dir, *, num_volumes=3, shape=(96, 96, 48), seed=0, cfg=None, 
         vol = clip_hu(vol, *cfg.hu_window)
         np.save(out / VOLUME_DIR / f"volume-{i}.npy", vol)
         np.save(out / SEG_DIR / f"segmentation-{i}.npy", seg)
-        np.savez_compressed(out / COORD_DIR / f"coords-{i}.npz", **extract_coords(seg))
+        np.savez_compressed(
+            out / COORD_DIR / f"coords-{i}.npz",
+            **extract_coords(seg, box_labels=cfg.box_labels),
+        )
         log(f"synth volume {i}: shape={shape}")
     return out
 

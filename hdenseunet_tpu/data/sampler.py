@@ -24,10 +24,16 @@ reproducible (explicit ``np.random.Generator``) component:
 Hybrid stage: crops are (H, W, D=input_cols) sub-volumes with full masks;
 batches missing any of the 3 classes are rejected (train_hybrid.py:127-132).
 
-The reference burned a fresh 14-thread pool per batch (train_2ddense.py:119-122)
-plus 3 multiprocessing enqueuer workers; here sampling is plain fast numpy
-driven by pipeline.PrefetchIterator (one background thread is enough to hide
-host latency behind device steps).
+Parallel feeding (reference: a fresh 14-thread crop pool per batch,
+train_2ddense.py:119-122, plus 3 multiprocessing enqueuer workers,
+data_utils.py:530): ``batches(batch, threads=N)`` crops samples on a
+persistent thread pool (``DataConfig.crop_threads``) with a *counter-based*
+RNG — each sample's stream is derived from (seed, sample_index, attempt), so
+the produced batches are bit-identical for any thread count, including 1
+(tests/test_data.py::test_parallel_batches_deterministic). The hot per-sample
+work (mmap'd crop read, cv2 resize, or the native C++ kernel) releases the
+GIL, so the pool scales on multi-core hosts; benchmarks/sampler_throughput.py
+measures samples/s versus the chips' measured training consumption.
 """
 from __future__ import annotations
 
@@ -46,15 +52,32 @@ from ..core.config import DataConfig
 from .preprocess import PreparedDataset
 
 
-def resize_2d_stack(vol: np.ndarray, out_hw: tuple[int, int], *, nearest: bool) -> np.ndarray:
+def resize_2d_stack(
+    vol: np.ndarray,
+    out_hw: tuple[int, int],
+    *,
+    nearest: bool,
+    backend: str = "cv2",
+) -> np.ndarray:
     """Resize (H, W, Z) -> (out_h, out_w, Z), z untouched.
 
-    Cubic (image) / nearest (mask) like reference train_2ddense.py:96-97.
+    Cubic (image) / nearest (mask) like reference train_2ddense.py:96-97,
+    which calls skimage.transform.resize(order=3/'constant' resp.
+    order=0/'edge', preserve_range=True). Backends (DataConfig.resize_backend):
+
+    * 'spline' — scipy.ndimage.zoom with grid_mode=True, the same
+      B-spline-interpolation family skimage.resize uses (skimage itself is not
+      in this image); order 3 mode 'constant' for images, order 0 mode
+      'nearest' (== skimage 'edge') for masks — the reference-exact choice;
+    * 'cv2' — INTER_CUBIC (Catmull-Rom family) / INTER_NEAREST, ~20x faster.
+      A *different cubic family* from the spline path: the delta is measured
+      by tests/test_data.py::test_resize_backend_deviation_quantified and is
+      far below the sampler's own augmentation noise.
     """
     h, w = out_hw
     if vol.shape[:2] == (h, w):
         return vol
-    if _HAS_CV2 and vol.shape[2] <= 128:
+    if backend == "cv2" and _HAS_CV2 and vol.shape[2] <= 128:
         interp = cv2.INTER_NEAREST if nearest else cv2.INTER_CUBIC
         out = cv2.resize(np.ascontiguousarray(vol), (w, h), interpolation=interp)
         if out.ndim == 2:
@@ -62,10 +85,14 @@ def resize_2d_stack(vol: np.ndarray, out_hw: tuple[int, int], *, nearest: bool) 
         return out
     zoom = (h / vol.shape[0], w / vol.shape[1], 1.0)
     order = 0 if nearest else 3
-    return ndimage.zoom(vol, zoom, order=order, mode="nearest" if nearest else "constant")
+    return ndimage.zoom(
+        vol, zoom, order=order, mode="nearest" if nearest else "grid-constant",
+        grid_mode=True,
+    )
 
 
 _FLIP_CASES = 8
+_MAX_BATCH_RETRIES = 16
 
 
 def apply_flip_rot(img: np.ndarray, mask: np.ndarray, case: int):
@@ -119,13 +146,15 @@ class CropSampler:
         self.mode = mode
         self.input_size = int(input_size)
         self.cols = 3 if mode == "2d" else int(input_cols)
+        self.seed = int(seed)
         self.rng = np.random.default_rng(seed)
         self._cache: dict[int, tuple] = {}
         if use_native is None:
             from .. import native
 
             use_native = native.available()
-        self.use_native = bool(use_native)
+        # the native C++ kernel is bit-compatible with the cv2 backend only
+        self.use_native = bool(use_native) and self.cfg.resize_backend == "cv2"
 
     # -- per-volume cached metadata ---------------------------------------
     def _meta(self, i: int):
@@ -138,25 +167,34 @@ class CropSampler:
             self._cache[i] = (c["liver"], c["tumor"], mn, mx)
         return self._cache[i]
 
-    def _pick_center(self, i: int) -> np.ndarray:
+    def _pick_center(self, i: int, rng: np.random.Generator) -> np.ndarray:
         liver, tumor, _, _ = self._meta(i)
         tumor_free = i in self.cfg.tumor_free_volumes
         use_liver = (
             tumor_free
             or len(tumor) == 0
-            or self.rng.random() < self.cfg.liver_sample_prob
+            or rng.random() < self.cfg.liver_sample_prob
         )
         coords = liver if use_liver else tumor
         if len(coords) == 0:
             # degenerate volume: fall back to its geometric center
             shape = np.asarray(self.ds.volume(i).shape)
             return shape // 2
-        return coords[self.rng.integers(0, len(coords))]
+        return coords[rng.integers(0, len(coords))]
 
-    def sample_one(self, volume_index: int | None = None):
-        """One (image, label) crop, augmented and resized."""
+    def sample_one(
+        self,
+        volume_index: int | None = None,
+        rng: np.random.Generator | None = None,
+    ):
+        """One (image, label) crop, augmented and resized.
+
+        ``rng`` defaults to the sampler's sequential stream; parallel callers
+        pass a per-sample counter-derived generator (see :meth:`sample_at`).
+        """
+        rng = self.rng if rng is None else rng
         i = (
-            int(self.rng.integers(0, len(self.ds)))
+            int(rng.integers(0, len(self.ds)))
             if volume_index is None
             else volume_index
         )
@@ -166,14 +204,14 @@ class CropSampler:
         _, _, mn, mx = self._meta(i)
         shape = np.asarray(img.shape, np.int64)
 
-        scale = self.rng.uniform(*self.cfg.scale_range)
+        scale = rng.uniform(*self.cfg.scale_range)
         # window never exceeds the volume (the reference assumes 512^2 in-plane
         # and crashes on smaller volumes); the resize below restores input_size.
         deps = min(int(self.input_size * scale), int(shape[0]))
         rows = min(int(self.input_size * scale), int(shape[1]))
         cols = self.cols
         assert shape[2] >= cols, f"volume z-extent {shape[2]} < window depth {cols}"
-        cen = self._pick_center(i)
+        cen = self._pick_center(i, rng)
 
         # clamp center so the window sits inside the dilated box where it fits,
         # inside the volume always (reference train_2ddense.py:53-63; the
@@ -185,7 +223,7 @@ class CropSampler:
         a, b, c = (int(v) for v in lo)
 
         origin = (a - deps // 2, b - rows // 2, c - cols // 2)
-        case = int(self.rng.integers(0, _FLIP_CASES))
+        case = int(rng.integers(0, _FLIP_CASES))
 
         sl = tuple(slice(o, o + s) for o, s in zip(origin, (deps, rows, cols)))
         if self.use_native:
@@ -209,12 +247,41 @@ class CropSampler:
             crop_seg = np.asarray(seg[sl])
             crop_img, crop_seg = apply_flip_rot(crop_img, crop_seg, case)
             out_hw = (self.input_size, self.input_size)
-            crop_img = resize_2d_stack(crop_img, out_hw, nearest=False)
-            crop_seg = resize_2d_stack(crop_seg.astype(np.int16), out_hw, nearest=True)
+            backend = self.cfg.resize_backend
+            crop_img = resize_2d_stack(crop_img, out_hw, nearest=False, backend=backend)
+            crop_seg = resize_2d_stack(
+                crop_seg.astype(np.int16), out_hw, nearest=True, backend=backend
+            )
 
         if self.mode == "2d":
             return crop_img, crop_seg[:, :, 1]
         return crop_img, crop_seg
+
+    def sample_at(self, index: int, attempt: int = 0):
+        """Sample #index with a counter-derived RNG.
+
+        The stream is a pure function of (seed, index, attempt), so results
+        are bit-identical no matter which thread computes them or in what
+        order — the determinism contract of the parallel feed path.
+        """
+        rng = np.random.default_rng(
+            np.random.SeedSequence((self.seed, int(index), int(attempt)))
+        )
+        return self.sample_one(rng=rng)
+
+    def _assemble(self, pairs, *, force: bool = False):
+        """Stack (img, label) pairs into a batch dict.
+
+        Returns None for a hybrid batch missing one of the 3 classes
+        (reference train_hybrid.py:127-132) unless ``force``.
+        """
+        image = np.stack([p[0] for p in pairs]).astype(np.float32)
+        label = np.stack([p[1] for p in pairs]).astype(np.int32)
+        if self.mode == "hybrid":
+            image = image[..., None]
+            if not force and not all((label == c).any() for c in range(3)):
+                return None
+        return {"image": image, "label": label}
 
     def sample_batch(self, batch: int):
         """Assemble a global batch as a dict of stacked arrays.
@@ -224,26 +291,62 @@ class CropSampler:
         three classes are present (reference train_hybrid.py:127-132), with a
         bounded retry so degenerate datasets can't hang the loop.
         """
-        for _attempt in range(16):
-            imgs, labels = [], []
-            for _ in range(batch):
-                x, y = self.sample_one()
-                imgs.append(x)
-                labels.append(y)
-            image = np.stack(imgs).astype(np.float32)
-            label = np.stack(labels).astype(np.int32)
-            if self.mode == "hybrid":
-                image = image[..., None]
-                present = [(label == c).any() for c in range(3)]
-                if not all(present):
-                    continue
-            return {"image": image, "label": label}
-        return {"image": image, "label": label}
+        for _attempt in range(_MAX_BATCH_RETRIES):
+            pairs = [self.sample_one() for _ in range(batch)]
+            out = self._assemble(pairs)
+            if out is not None:
+                return out
+        return self._assemble(pairs, force=True)
 
-    def batches(self, batch: int):
-        """Infinite batch generator (reference generate_arrays_from_file)."""
+    def batches(self, batch: int, threads: int | None = None):
+        """Infinite batch generator (reference generate_arrays_from_file).
+
+        ``threads > 1`` crops samples on a persistent pool (the reference's
+        14-thread-pool + 3-enqueuer-worker role, train_2ddense.py:119-122,
+        data_utils.py:530) with counter-based RNG: the batch sequence is
+        bit-identical for every thread count.
+        """
+        if threads is not None and threads > 1:
+            yield from self._parallel_batches(batch, threads)
+            return
         while True:
             yield self.sample_batch(batch)
+
+    def _parallel_batches(self, batch: int, threads: int, lookahead: int = 2):
+        """Deterministic multi-threaded batch producer.
+
+        Keeps ``lookahead`` future batches' samples in flight so the pool
+        stays busy across batch boundaries; hybrid class-rejection re-draws
+        the same index range at attempt+1 (still deterministic).
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=threads, thread_name_prefix="crop")
+
+        def submit(start, attempt):
+            return [ex.submit(self.sample_at, start + j, attempt) for j in range(batch)]
+
+        pending: deque = deque()
+        next_start = 0
+        try:
+            for _ in range(lookahead + 1):
+                pending.append((next_start, 0, submit(next_start, 0)))
+                next_start += batch
+            while True:
+                start, attempt, futs = pending.popleft()
+                pairs = [f.result() for f in futs]
+                out = self._assemble(pairs)
+                if out is None and attempt + 1 < _MAX_BATCH_RETRIES:
+                    pending.appendleft((start, attempt + 1, submit(start, attempt + 1)))
+                    continue
+                if out is None:
+                    out = self._assemble(pairs, force=True)
+                pending.append((next_start, 0, submit(next_start, 0)))
+                next_start += batch
+                yield out
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
 
 def synthetic_batches(

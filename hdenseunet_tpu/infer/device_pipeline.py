@@ -191,27 +191,18 @@ class DeviceVolumeScorer:
         need = max(z, self.cfg.input_cols)
         return -(-need // self.z_bucket) * self.z_bucket
 
-    def score(self, vol: np.ndarray, mini_z: int, maxi_z: int, output: str = "probs"):
-        """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs
-        (or packed mask / scalar digest per ``output``, computed in the SAME
-        compiled program — no extra dispatch).
+    def plan(self, vol_shape, mini_z: int, maxi_z: int) -> dict:
+        """Static execution plan for a volume shape + liver z-range.
 
-        Only the z-range the window grid actually reads (the liver range plus
-        the reference's -5/+10 margins, funcs.py:19-20) crosses the host link
-        and lives in the on-device score buffer; everything outside is
-        background by construction (the reference also never scores it).
+        Shared by score() and estimate_flops() so the FLOP accounting can
+        never drift from what actually executes.
         """
-        x0, y0, z_full = vol.shape
+        x0, y0, z_full = vol_shape
         all_starts = window_starts(z_full, mini_z, maxi_z, self.cfg)
         z_lo = min(all_starts)
         z_hi = min(z_full, max(all_starts) + self.cfg.input_cols)
-        vol_c = vol[:, :, z_lo:z_hi]
-        x0, y0, z = vol_c.shape
-        pad_x = (-x0) % 32
-        pad_y = (-y0) % 32
+        z = z_hi - z_lo
         zp = self._bucketed(z)
-        vol_p = np.zeros((x0 + pad_x, y0 + pad_y, zp), np.float32)
-        vol_p[:x0, :y0, :z] = vol_c
         wb = max(1, self.cfg.window_batch)
         if self.shared_2d:
             # phase-B transients (window gathers of the stored 2D features +
@@ -238,6 +229,62 @@ class DeviceVolumeScorer:
             n_batches = -(-max(1, -(-need // wb)) // 4) * 4
             n_batches = min(n_batches, -(-plan_windows(zp, self.cfg) // wb))
             starts, weights = make_grid(starts_list, wb, n_batches)
+        return dict(
+            z_lo=z_lo, z=z, zp=zp,
+            xp=x0 + (-x0) % 32, yp=y0 + (-y0) % 32,
+            wb=wb, dedup=dedup, starts=starts, weights=weights,
+        )
+
+    def estimate_flops(self, vol_shape, mini_z: int, maxi_z: int) -> float:
+        """Analytic conv FLOPs the compiled program executes for this volume
+        (includes weight-0 padding windows — they run on the hardware)."""
+        from ..utils.flops import hybrid_window_batch_flops
+
+        p = self.plan(vol_shape, mini_z, maxi_z)
+        n_batches, wb = p["starts"].shape
+        cols = self.cfg.input_cols
+        if self.shared_2d:
+            # phase A: one 2D pass per padded z slice; phase B: 3D+HFF per window
+            per_batch = hybrid_window_batch_flops(
+                x=p["xp"], y=p["yp"], cols=cols, wb=wb, n_stacks_2d=0,
+                preset=self.preset, num_classes=self.num_classes, arch=self.arch,
+            )
+            f2d_all = hybrid_window_batch_flops(
+                x=p["xp"], y=p["yp"], cols=cols, wb=1, n_stacks_2d=p["zp"],
+                preset=self.preset, num_classes=self.num_classes, arch=self.arch,
+            ) - hybrid_window_batch_flops(
+                x=p["xp"], y=p["yp"], cols=cols, wb=1, n_stacks_2d=0,
+                preset=self.preset, num_classes=self.num_classes, arch=self.arch,
+            )
+            return n_batches * per_batch + f2d_all
+        n_stacks = (
+            (wb - 1) * self.cfg.window_stride + cols - 2 + 2 * wb
+            if p["dedup"]
+            else wb * cols
+        )
+        return n_batches * hybrid_window_batch_flops(
+            x=p["xp"], y=p["yp"], cols=cols, wb=wb, n_stacks_2d=n_stacks,
+            preset=self.preset, num_classes=self.num_classes, arch=self.arch,
+        )
+
+    def score(self, vol: np.ndarray, mini_z: int, maxi_z: int, output: str = "probs"):
+        """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs
+        (or packed mask / scalar digest per ``output``, computed in the SAME
+        compiled program — no extra dispatch).
+
+        Only the z-range the window grid actually reads (the liver range plus
+        the reference's -5/+10 margins, funcs.py:19-20) crosses the host link
+        and lives in the on-device score buffer; everything outside is
+        background by construction (the reference also never scores it).
+        """
+        x0, y0, z_full = vol.shape
+        p = self.plan(vol.shape, mini_z, maxi_z)
+        z_lo, z, zp, wb = p["z_lo"], p["z"], p["zp"], p["wb"]
+        dedup = p["dedup"]
+        starts, weights = p["starts"], p["weights"]
+        vol_c = vol[:, :, z_lo : z_lo + z]
+        vol_p = np.zeros((p["xp"], p["yp"], zp), np.float32)
+        vol_p[:x0, :y0, :z] = vol_c
         # cast host-side so the wire carries the compute dtype (bf16 = half
         # the bytes of f32 — matters on thin host links)
         wire = vol_p.astype(jnp.dtype(self.compute_dtype))

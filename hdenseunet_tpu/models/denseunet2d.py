@@ -104,15 +104,27 @@ def encoder(
     dropout_rate=0.0,
     blocks=ENC_BLOCKS,
     growth=GROWTH_RATE,
+    taps: dict | None = None,
 ):
-    """DenseNet-161 feature extractor. Returns (final features, skip boxes)."""
+    """DenseNet-161 feature extractor. Returns (final features, skip boxes).
+
+    ``taps``, when given a dict, records the box activations under the
+    reference graph's layer names (relu1, concat_{stage}_{n}, relu{S}_blk)
+    for parity audits (weights/parity.py, tests/test_keras_oracle.py).
+    """
     compression = 1.0 - reduction
     box = []
+
+    def tap(name, t):
+        if taps is not None:
+            taps[name] = t
+
     x = L.conv2d(ctx, x, "conv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
     x = L.bn_scale_relu(
         ctx, x, "conv1_bn", "conv1_scale", eps=EPS_ENCODER, frozen=frozen
     )
     box.append(x)
+    tap("relu1", x)
     x = L.max_pool(x, 3, 2, pad=1)
 
     nb_filter = INITIAL_FILTERS
@@ -124,6 +136,7 @@ def encoder(
             frozen=frozen, dropout_rate=dropout_rate,
         )
         box.append(x)
+        tap(f"concat_{stage}_{nb_layers}", x)
         x = _transition(ctx, x, stage, nb_filter, compression, frozen=frozen, dropout_rate=dropout_rate)
         nb_filter = int(nb_filter * compression)
 
@@ -136,6 +149,7 @@ def encoder(
         ctx, x, f"conv{final_stage}_blk_bn", f"conv{final_stage}_blk_scale", eps=EPS_ENCODER, frozen=frozen
     )
     box.append(x)
+    tap(f"relu{final_stage}_blk", x)
     return x, box
 
 
@@ -165,6 +179,7 @@ def apply(
     blocks: tuple = ENC_BLOCKS,
     growth: int = GROWTH_RATE,
     decoder_widths: tuple = (768, 384, 96, 96, 64),
+    taps: dict | None = None,
 ):
     """Forward pass. x: (B, H, W, 3), H and W divisible by 32.
 
@@ -177,7 +192,7 @@ def apply(
     assert x.ndim == 4 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
     feat, box = encoder(
         ctx, x, reduction=reduction, frozen=bn_frozen, dropout_rate=block_dropout,
-        blocks=blocks, growth=growth,
+        blocks=blocks, growth=growth, taps=taps,
     )
 
     skips = [None] * 5
@@ -197,6 +212,9 @@ def apply(
     d = _up_stage(ctx, d, 4, w4, frozen=bn_frozen, dropout_rate=decoder_dropout)
 
     logits = L.conv2d(ctx, d, "dense167classifer", num_classes, 1, padding="same", init="normal")
+    if taps is not None:
+        taps["ac_up4"] = d
+        taps["dense167classifer"] = logits
     return d, logits
 
 

@@ -100,10 +100,13 @@ def apply(
     blocks: tuple = ENC_BLOCKS,
     growth: int = GROWTH_RATE,
     decoder_widths: tuple = (504, 224, 192, 96, 64),
+    taps: dict | None = None,
 ):
     """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
 
     Returns (ac_up4 features (B,H,W,D,64), logits (B,H,W,D,num_classes)).
+    ``taps``, when given a dict, collects block-boundary activations under the
+    reference graph's names (parity audits, weights/parity.py).
     """
     assert x.ndim == 5 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
     assert x.shape[3] % 4 == 0, f"depth {x.shape[3]} must be divisible by 4"
@@ -123,6 +126,8 @@ def apply(
             ctx, x, stage, nb_layers, nb_filter, growth,
             frozen=bn_frozen, dropout_rate=block_dropout,
         )
+        if taps is not None:
+            taps[f"3dconcat_{stage}_{nb_layers}"] = x
         x = _transition3d(ctx, x, stage, nb_filter, compression, frozen=bn_frozen, dropout_rate=block_dropout)
         nb_filter = int(nb_filter * compression)
 
@@ -134,6 +139,8 @@ def apply(
     x = L.bn_scale_relu(
         ctx, x, f"3dconv{final_stage}_blk_bn", f"3dconv{final_stage}_blk_scale", eps=EPS_ENCODER, frozen=bn_frozen
     )
+    if taps is not None:
+        taps[f"3drelu{final_stage}_blk"] = x
 
     w0, w1, w2, w3, w4 = decoder_widths
     d = _up_stage3d(ctx, x, 0, w0, (2, 2, 1), frozen=bn_frozen)
@@ -143,6 +150,9 @@ def apply(
     d = _up_stage3d(ctx, d, 4, w4, (2, 2, 2), frozen=bn_frozen)
 
     logits = L.conv3d(ctx, d, "3dclassifer", num_classes, 1, padding="same")
+    if taps is not None:
+        taps["3dac_up4"] = d
+        taps["3dclassifer"] = logits
     return d, logits
 
 

@@ -64,10 +64,19 @@ def unstack_to_volume(y, batch, depth):
     return jnp.transpose(y, (0, 2, 3, 1, 4))
 
 
-def apply(ctx: Ctx, vol, *, arch: str = "end2end", num_classes: int = 3, preset: str = "full"):
+def apply(
+    ctx: Ctx,
+    vol,
+    *,
+    arch: str = "end2end",
+    num_classes: int = 3,
+    preset: str = "full",
+    taps: dict | None = None,
+):
     """Forward pass. vol: (B, H, W, D, 1); H, W divisible by 32; D by 4.
 
-    Returns logits (B, H, W, D, num_classes).
+    Returns logits (B, H, W, D, num_classes). ``taps``, when given a dict,
+    collects fusion-boundary activations for parity audits.
     """
     assert arch in ("end2end", "3dpart"), arch
     b, h, w, d = vol.shape[:4]
@@ -90,7 +99,12 @@ def apply(ctx: Ctx, vol, *, arch: str = "end2end", num_classes: int = 3, preset:
         ctx, input3d, reduction=0.5, **denseunet3d.PRESETS[preset]
     )
 
-    return hff_head(ctx, feat3d, fea2d, arch=arch, num_classes=num_classes)
+    logits = hff_head(ctx, feat3d, fea2d, arch=arch, num_classes=num_classes)
+    if taps is not None:
+        taps.update(
+            {"res2d": res2d, "fea2d": fea2d, "feat3d": feat3d, "2d3dclassifer": logits}
+        )
+    return logits
 
 
 def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3):

@@ -93,6 +93,20 @@ def conv(
     cin = int(x.shape[-1])
     w = ctx.param(name, "kernel", kernel + (cin, features), init)
     pads = _conv_padding(x.shape[1:-1], kernel, stride, padding)
+    if getattr(ctx, "flops", None) is not None:
+        # analytic accounting hook (utils/flops.py): 2 * out_elements * K * Cin
+        out_sp = [
+            (x.shape[1 + i] + pads[i][0] + pads[i][1] - kernel[i]) // stride[i] + 1
+            for i in range(ndim)
+        ]
+        f = (
+            2.0 * int(x.shape[0]) * float(np.prod(out_sp)) * features
+            * float(np.prod(kernel)) * cin
+        )
+        ctx.flops[0] += f
+        table = getattr(ctx, "flop_table", None)
+        if table is not None:
+            table[name] = table.get(name, 0.0) + f
     y = lax.conv_general_dilated(
         x.astype(ctx.compute_dtype),
         w.astype(ctx.compute_dtype),

@@ -11,6 +11,11 @@ Thin, named-axis layer the rest of the framework builds on (SURVEY.md §2c):
   chip scoring a slab of windows per device step (lib/funcs.py walked them
   one at a time on one GPU).
 
+* multi-host: :mod:`.multihost` joins the JAX distributed runtime
+  (``jax.distributed.initialize``) and feeds each process's LOCAL batch shard
+  into the global mesh (``jax.make_array_from_process_local_data``) — the
+  train step is identical single- and multi-host.
+
 DCN-ready: meshes with more axes can be passed anywhere a mesh is taken;
 only the 'data' axis name is load-bearing.
 """
@@ -22,4 +27,11 @@ from ..core.mesh import (  # noqa: F401
     replicate,
     replicated,
     shard_batch,
+)
+from .multihost import (  # noqa: F401
+    global_batch_from_local,
+    initialize,
+    is_primary,
+    local_batch_size,
+    put_batch,
 )

@@ -40,6 +40,7 @@ from ..core.mesh import (
 )
 from ..core.module import Ctx, merge_state
 from ..models import denseunet2d, hybrid
+from ..parallel.multihost import put_batch
 from . import checkpoint as ckpt_lib
 from .loss import weighted_crossentropy_2d, weighted_crossentropy_hybrid
 from .optimizer import make_optimizer
@@ -272,7 +273,10 @@ def train(
     """Host training loop: prefetched host batches -> sharded device steps.
 
     `batch_iterator` yields dicts with 'image' and 'label' numpy arrays whose
-    leading dim is the GLOBAL batch. Replaces fit_generator
+    leading dim is the GLOBAL batch on a single host, or this process's LOCAL
+    shard (global/process_count rows) under a multi-host runtime
+    (parallel.multihost.initialize; the feed primitive put_batch assembles
+    the global array either way). Replaces fit_generator
     (training.py:1831-2089) + GeneratorEnqueuer (data_utils.py:530).
     """
     mesh = mesh or make_mesh()
@@ -361,10 +365,7 @@ def train(
         remaining = total - step
         if k > 1 and len(group) == k and remaining >= k:
             stacked = stack_batches(group)
-            device_batch = {
-                key: jax.device_put(v, multi_bsh) for key, v in stacked.items()
-            }
-            ts, loss = multi_fn(ts, device_batch)
+            ts, loss = multi_fn(ts, put_batch(stacked, multi_bsh))
             pending.extend(jnp.atleast_1d(loss))
             n_steps = k
         else:
@@ -374,11 +375,7 @@ def train(
             fn = get_single()
             n_steps = 0
             for batch in group[:remaining]:
-                device_batch = {
-                    key: jax.device_put(np.asarray(v), bsh)
-                    for key, v in batch.items()
-                }
-                ts, loss = fn(ts, device_batch)
+                ts, loss = fn(ts, put_batch(batch, bsh))
                 pending.append(loss)
                 n_steps += 1
         prev, step = step, step + n_steps

@@ -51,20 +51,40 @@ def dump_activations(params, bn_state, x, *, reduction=0.5, preset="full"):
     from ..models import denseunet2d
 
     ctx = Ctx(params, bn_state, train=False)
-    kw = denseunet2d.PRESETS[preset]
-    feat, box = denseunet2d.encoder(
-        ctx, jnp.asarray(x), reduction=reduction,
-        blocks=kw.get("blocks", denseunet2d.ENC_BLOCKS),
-        growth=kw.get("growth", denseunet2d.GROWTH_RATE),
+    taps: dict = {}
+    denseunet2d.apply(
+        ctx, jnp.asarray(x), reduction=reduction, taps=taps,
+        **denseunet2d.PRESETS[preset],
     )
-    out = {name: np.asarray(t) for name, t in zip(TAPS, box)}
-    # full forward for decoder taps (re-runs the encoder; parity > speed here)
-    feat_map, logits = denseunet2d.apply(
-        ctx, jnp.asarray(x), reduction=reduction, **kw
-    )
-    out["ac_up4"] = np.asarray(feat_map)
-    out["dense167classifer"] = np.asarray(logits)
-    return out
+    return {name: np.asarray(t) for name, t in taps.items()}
+
+
+def dump_activations_3d(params, bn_state, x, *, preset="full"):
+    """3D-branch taps: per-dense-block concats, final relu, 'ac_up4' features,
+    '3dclassifer' logits (reference denseunet3d.py graph names)."""
+    import jax.numpy as jnp
+
+    from ..core.module import Ctx
+    from ..models import denseunet3d
+
+    ctx = Ctx(params, bn_state, train=False)
+    taps: dict = {}
+    denseunet3d.apply(ctx, jnp.asarray(x), taps=taps, **denseunet3d.PRESETS[preset])
+    return {name: np.asarray(t) for name, t in taps.items()}
+
+
+def dump_activations_hybrid(params, bn_state, vol, *, arch="end2end", preset="full"):
+    """Hybrid fusion-boundary taps: res2d/fea2d (z-stacked 2D outputs), feat3d,
+    and the '2d3dclassifer' logits (reference hybridnet.py:409-419)."""
+    import jax.numpy as jnp
+
+    from ..core.module import Ctx
+    from ..models import hybrid
+
+    ctx = Ctx(params, bn_state, train=False)
+    taps: dict = {}
+    hybrid.apply(ctx, jnp.asarray(vol), arch=arch, preset=preset, taps=taps)
+    return {name: np.asarray(t) for name, t in taps.items()}
 
 
 def compare_dumps(a_path, b_path, *, rtol=1e-3, atol=1e-3, log=print) -> bool:
@@ -100,6 +120,9 @@ def main(argv=None):
     d.add_argument("--out", required=True)
     d.add_argument("--input", default=None, help="npy input; random if absent")
     d.add_argument("--input-size", type=int, default=224)
+    d.add_argument("--model", choices=["2d", "3d", "hybrid"], default="2d")
+    d.add_argument("--arch", choices=["end2end", "3dpart"], default="end2end")
+    d.add_argument("--input-cols", type=int, default=8)
     d.add_argument("--seed", type=int, default=0)
 
     c = sub.add_parser("compare")
@@ -115,10 +138,24 @@ def main(argv=None):
 
     import jax
 
-    from ..models import denseunet2d
+    from ..models import denseunet2d, denseunet3d, hybrid
     from .convert import load_npz_checkpoint, match_to_model
 
-    params, bn_state = denseunet2d.init(jax.random.key(0), input_size=args.input_size)
+    if args.model == "2d":
+        params, bn_state = denseunet2d.init(jax.random.key(0), input_size=args.input_size)
+        in_shape = (1, args.input_size, args.input_size, 3)
+    elif args.model == "3d":
+        params, bn_state = denseunet3d.init(
+            jax.random.key(0), input_size=args.input_size,
+            input_cols=args.input_cols, channels=4,
+        )
+        in_shape = (1, args.input_size, args.input_size, args.input_cols, 4)
+    else:
+        params, bn_state = hybrid.init(
+            jax.random.key(0), input_size=args.input_size,
+            input_cols=args.input_cols, arch=args.arch,
+        )
+        in_shape = (1, args.input_size, args.input_size, args.input_cols, 1)
     raw = load_npz_checkpoint(args.weights)
     params, bn_state, report = match_to_model(raw, params, bn_state, strict_shapes=False)
     print(f"loaded {len(report['loaded'])} layers, skipped {len(report['skipped'])}")
@@ -126,11 +163,14 @@ def main(argv=None):
     if args.input:
         x = np.load(args.input)
     else:
-        x = np.random.default_rng(args.seed).normal(
-            0, 60, (1, args.input_size, args.input_size, 3)
-        ).astype(np.float32)
+        x = np.random.default_rng(args.seed).normal(0, 60, in_shape).astype(np.float32)
         np.save(Path(args.out).with_name("parity_input.npy"), x)
-    acts = dump_activations(params, bn_state, x)
+    if args.model == "2d":
+        acts = dump_activations(params, bn_state, x)
+    elif args.model == "3d":
+        acts = dump_activations_3d(params, bn_state, x)
+    else:
+        acts = dump_activations_hybrid(params, bn_state, x, arch=args.arch)
     np.savez_compressed(args.out, **acts)
     print(f"wrote {args.out}: {sorted(acts)}")
 

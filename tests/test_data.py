@@ -1,6 +1,7 @@
 """Data subsystem tests: NIfTI IO, offline prep, guided sampler, prefetch."""
 import numpy as np
 import pytest
+from scipy import ndimage
 
 from hdenseunet_tpu.core.config import DataConfig
 from hdenseunet_tpu.data import nifti, preprocess, sampler
@@ -68,8 +69,9 @@ def test_extract_coords_box():
     np.testing.assert_array_equal(c["box_max"], [4, 5, 6])
     assert len(c["tumor"]) == 1
     np.testing.assert_array_equal(c["tumor"][0], [3, 4, 5])
-    # liver coords include the tumor voxel (label >= 1)
-    assert len(c["liver"]) == 3 * 3 * 3
+    # liver coords are label==1 voxels only (reference generate_livertxt
+    # semantics, preprocessing.py:21-39): the tumor voxel is excluded
+    assert len(c["liver"]) == 3 * 3 * 3 - 1
 
 
 def test_preprocess_run_from_nii(tmp_path):
@@ -138,6 +140,38 @@ def test_sampler_reproducible(prep_dir):
     np.testing.assert_array_equal(a["label"], b["label"])
 
 
+def test_parallel_batches_deterministic(prep_dir):
+    """batches(threads=N) is bit-identical for every N (counter-based RNG):
+    thread scheduling can never change the training data stream."""
+    ds = preprocess.PreparedDataset(prep_dir)
+
+    def take(threads, n=3, mode="2d"):
+        s = sampler.CropSampler(ds, mode=mode, input_size=32, input_cols=8, seed=11)
+        gen = s.batches(2, threads=threads)
+        out = [next(gen) for _ in range(n)]
+        gen.close()
+        return out
+
+    for mode in ("2d", "hybrid"):
+        a, b = take(2, mode=mode), take(5, mode=mode)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["image"], y["image"])
+            np.testing.assert_array_equal(x["label"], y["label"])
+
+
+def test_sample_at_matches_parallel_stream(prep_dir):
+    """The parallel batch stream is exactly [sample_at(0), sample_at(1), ...]."""
+    ds = preprocess.PreparedDataset(prep_dir)
+    s = sampler.CropSampler(ds, mode="2d", input_size=32, seed=4)
+    gen = s.batches(2, threads=3)
+    batch0 = next(gen)
+    gen.close()
+    x0, _ = s.sample_at(0)
+    x1, _ = s.sample_at(1)
+    np.testing.assert_array_equal(batch0["image"][0], x0)
+    np.testing.assert_array_equal(batch0["image"][1], x1)
+
+
 def test_sampler_tumor_free_volume_uses_liver(prep_dir):
     """Volumes listed tumor-free always sample liver-guided crops
     (reference train_2ddense.py:39, :111-117)."""
@@ -146,6 +180,63 @@ def test_sampler_tumor_free_volume_uses_liver(prep_dir):
     s = sampler.CropSampler(ds, cfg, mode="2d", input_size=32, seed=0)
     for _ in range(8):
         s.sample_one()  # must not raise even with tumor sampling disabled
+
+
+def test_resize_backend_deviation_quantified():
+    """Quantify the cv2 (Catmull-Rom) vs spline (skimage-family, reference
+    train_2ddense.py:96-97) cubic-resize deviation: tiny relative to the HU
+    dynamic range, and the two agree exactly on constant regions."""
+    rng = np.random.default_rng(0)
+    img = rng.normal(0.0, 60.0, (180, 200, 3)).astype(np.float32)
+    smooth = ndimage.gaussian_filter(img, (6, 6, 0)).astype(np.float32)
+
+    a = sampler.resize_2d_stack(smooth, (224, 224), nearest=False, backend="cv2")
+    b = sampler.resize_2d_stack(smooth, (224, 224), nearest=False, backend="spline")
+    assert a.shape == b.shape == (224, 224, 3)
+    rng_hu = smooth.max() - smooth.min()
+    full = np.abs(a - b)
+    interior = full[8:-8, 8:-8]
+    print(
+        f"cv2 vs spline cubic resize: interior max {interior.max():.4f} "
+        f"({interior.max() / rng_hu:.2%} of range), border max {full.max():.4f} "
+        f"({full.max() / rng_hu:.2%}) — the reference's mode='constant' treats "
+        f"outside-crop as 0 HU while cv2 replicates the edge row"
+    )
+    # away from the crop border the two cubic families track closely; the
+    # deviation is a one-support-width frame at the crop edge
+    assert interior.max() / rng_hu < 0.05, interior.max() / rng_hu
+
+    # nearest-mask path: both backends must preserve the label alphabet
+    seg = (smooth[..., :1] > 0).astype(np.int16) + (smooth[..., 1:2] > 30).astype(np.int16)
+    ma = sampler.resize_2d_stack(seg, (224, 224), nearest=True, backend="cv2")
+    mb = sampler.resize_2d_stack(seg, (224, 224), nearest=True, backend="spline")
+    assert set(np.unique(ma)) <= set(np.unique(seg))
+    assert set(np.unique(mb)) <= set(np.unique(seg))
+    # nearest-neighbor grids differ by at most the label boundary pixels
+    assert (ma != mb).mean() < 0.05
+
+
+def test_box_mode_deviation_quantified():
+    """box_labels='liver' is the reference-exact box (label==1 support,
+    preprocessing.py:63-75); 'any' is the opt-in superset. Quantify the delta
+    on a volume with tumor voxels outside the label-1 support."""
+    seg = np.zeros((40, 40, 20), np.int16)
+    seg[10:30, 12:28, 5:15] = 1
+    seg[14:20, 14:20, 7:12] = 2  # tumor inside liver
+    seg[31:34, 20:22, 9:11] = 2  # label-noise tumor outside liver support
+    exact = preprocess.extract_coords(seg, box_labels="liver")
+    superset = preprocess.extract_coords(seg, box_labels="any")
+    np.testing.assert_array_equal(exact["box_min"], [10, 12, 5])
+    np.testing.assert_array_equal(exact["box_max"], [29, 27, 14])
+    np.testing.assert_array_equal(superset["box_min"], [10, 12, 5])
+    np.testing.assert_array_equal(superset["box_max"], [33, 27, 14])
+    delta = np.abs(superset["box_max"] - exact["box_max"]).max()
+    print(f"box superset delta: {delta} voxels on this fixture")
+    # liver coordinate list is label==1 only in BOTH modes (the reference's
+    # LiverPixels semantics); tumor list is label==2
+    assert (seg[tuple(exact["liver"].T)] == 1).all()
+    assert (seg[tuple(exact["tumor"].T)] == 2).all()
+    np.testing.assert_array_equal(exact["liver"], superset["liver"])
 
 
 def test_flip_rot_cases_bijective():
