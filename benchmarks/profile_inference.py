@@ -11,10 +11,13 @@ Segments:
   3d-hff       3D DenseNet + HFF head on one window batch (8 windows)
   volume       the full committed scorer (headline config)
 
-Timing protocol for the tunneled dev box: per-dispatch latency here is ~1-2 s
-of relay overhead, so each segment is timed as the SLOPE between 1 and k
-chained dispatches ((t_k - t_1)/(k-1)) with a scalar digest fetch as the sync
-point (jax.block_until_ready is a no-op on this backend). Run EXCLUSIVELY.
+Timing protocol for the tunneled dev box: per-dispatch relay overhead here is
+~1-2 s with multi-second noise, so the repetition loop lives INSIDE one
+compiled program (lax.fori_loop whose input depends on the carry — the
+loop-carried data dependence stops XLA hoisting the loop-invariant model
+call), and the per-iteration time is the slope between a k-small and a k-big
+program, each timed as min over reps of one dispatch + scalar fetch
+(jax.block_until_ready is a no-op on this backend). Run EXCLUSIVELY.
 
 Usage: python benchmarks/profile_inference.py [--size 512] [--wb 8] [--reps 2]
 """
@@ -38,13 +41,14 @@ def main():
     ap.add_argument("--z", type=int, default=192)
     ap.add_argument("--preset", default="full")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--k", type=int, default=5, help="chained dispatches for slope timing")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--k", type=int, default=8, help="k-big inner iterations")
     ap.add_argument("--segments", default="matmul,2d-full,2d-encoder,3d-hff,volume")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from hdenseunet_tpu.core.config import InferConfig
     from hdenseunet_tpu.core.module import Ctx
@@ -57,23 +61,33 @@ def main():
     peak = F.peak_flops_per_chip()
     segments = args.segments.split(",")
 
-    def slope_time(dispatch, k=args.k, reps=args.reps):
-        """Per-dispatch seconds: slope between 1 and k chained dispatches."""
-        dispatch()  # ensure compiled
+    def slope_time(scalar_fn, inputs, k_big=args.k, k_small=1, reps=args.reps):
+        """Per-iteration seconds of scalar_fn(*inputs, jitter) via in-program
+        repetition: one fori_loop dispatch per measurement; slope between the
+        k_small- and k_big-iteration programs; min over reps (relay noise is
+        one-sided)."""
 
-        def run(n):
+        def make(k):
+            @jax.jit
+            def g(*xs):
+                def body(i, acc):
+                    # acc-dependent jitter = loop-carried dependence: the model
+                    # call cannot be hoisted out of the loop
+                    return acc + scalar_fn(*xs, jitter=acc * 1e-30)
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+            return g
+
+        g_small, g_big = make(k_small), make(k_big)
+
+        def run(g):
             t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = dispatch()
-            _ = float(out)  # scalar fetch = sync
+            _ = float(g(*inputs))  # scalar fetch = sync
             return time.perf_counter() - t0
 
-        est = []
-        for _ in range(reps):
-            t1, tk = run(1), run(k)
-            est.append((tk - t1) / (k - 1))
-        return min(est)
+        run(g_small), run(g_big)  # compile both
+        ts = min(run(g_small) for _ in range(reps))
+        tb = min(run(g_big) for _ in range(reps))
+        return max((tb - ts) / (k_big - k_small), 1e-9)
 
     def report(name, seconds, fl):
         print(
@@ -93,8 +107,11 @@ def main():
         n = 8192
         a = jnp.asarray(np.random.default_rng(0).normal(0, 1, (n, n)), dtype)
         b = jnp.asarray(np.random.default_rng(1).normal(0, 1, (n, n)), dtype)
-        mm = jax.jit(lambda a, b: jnp.sum((a @ b).astype(jnp.float32)))
-        report("matmul-peak", slope_time(lambda: mm(a, b)), 2.0 * n**3)
+
+        def mm(a, b, *, jitter):
+            return jnp.sum(((a + jitter.astype(dtype)) @ b).astype(jnp.float32))
+
+        report("matmul-peak", slope_time(mm, (a, b), k_big=32), 2.0 * n**3)
 
     cfg = InferConfig(input_size=size, window_batch=wb)
     stride, cols = cfg.window_stride, cfg.input_cols
@@ -113,18 +130,19 @@ def main():
             rng.normal(0, 60, (n_stacks, size, size, 3)).astype(np.float32), dtype
         )
 
-        def f2d(p, s, x):
+        def f2d(p, s, x, *, jitter):
             ctx = Ctx(p, s, train=False, compute_dtype=dtype)
             feat, logits = denseunet2d.apply(
-                ctx, x, bn_frozen=True, decoder_dropout=0.0, **kw2d
+                ctx, x + jitter.astype(dtype), bn_frozen=True,
+                decoder_dropout=0.0, **kw2d,
             )
             return jnp.sum(logits.astype(jnp.float32)) + jnp.sum(
                 feat.astype(jnp.float32)
             )
 
-        def fenc(p, s, x):
+        def fenc(p, s, x, *, jitter):
             ctx = Ctx(p, s, train=False, compute_dtype=dtype)
-            feat, _ = denseunet2d.encoder(ctx, x, frozen=True, **{
+            feat, _ = denseunet2d.encoder(ctx, x + jitter.astype(dtype), frozen=True, **{
                 k: v for k, v in kw2d.items() if k in ("blocks", "growth")
             })
             return jnp.sum(feat.astype(jnp.float32))
@@ -137,13 +155,11 @@ def main():
             denseunet2d.encoder, (1, size, size, 3), frozen=True,
             **{k: v for k, v in kw2d.items() if k in ("blocks", "growth")},
         )
-        j2d = jax.jit(f2d)
-        jenc = jax.jit(fenc)
         if "2d-full" in segments:
-            t = slope_time(lambda: j2d(params, bn_state, stacks))
+            t = slope_time(f2d, (params, bn_state, stacks))
             report("2d-full", t, fl_full)
         if "2d-encoder" in segments:
-            te = slope_time(lambda: jenc(params, bn_state, stacks))
+            te = slope_time(fenc, (params, bn_state, stacks))
             report("2d-encoder", te, fl_enc)
 
     if "3d-hff" in segments:
@@ -156,9 +172,9 @@ def main():
             dtype,
         )
 
-        def f3d(p, s, x, fea):
+        def f3d(p, s, x, fea, *, jitter):
             ctx = Ctx(p, s, train=False, compute_dtype=dtype)
-            feat3d, _ = denseunet3d.apply(ctx, x, **kw3d)
+            feat3d, _ = denseunet3d.apply(ctx, x + jitter.astype(dtype), **kw3d)
             out = hff_head(ctx, feat3d, fea, arch="end2end")
             return jnp.sum(out.astype(jnp.float32))
 
@@ -169,8 +185,7 @@ def main():
         fl3d = F.conv_flops(
             tail_fl, (wb, size, size, cols, 4), (wb, size, size, cols, feat_width)
         )
-        j3d = jax.jit(f3d)
-        t3 = slope_time(lambda: j3d(params, bn_state, in3d, fea2d))
+        t3 = slope_time(f3d, (params, bn_state, in3d, fea2d))
         report("3d-hff", t3, fl3d)
 
     if "volume" in segments:

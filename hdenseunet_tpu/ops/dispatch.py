@@ -26,3 +26,15 @@ def use_pallas() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def forced_pallas() -> bool:
+    """True only under an explicit set_backend('pallas').
+
+    For ops where the measured default is XLA: the standalone fused-affine
+    kernel BREAKS XLA's elementwise fusion into neighboring convs and costs
+    2x encoder time on v5e (benchmarks/profile_inference.py, BENCH_NOTES.md)
+    — 'auto' must therefore mean XLA there, with Pallas kept reachable for
+    its parity/grad tests.
+    """
+    return _BACKEND == "pallas"

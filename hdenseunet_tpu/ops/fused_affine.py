@@ -8,10 +8,16 @@ per-channel affine + clamp:
 
     relu((x*a1 + b1)*a2 + b2)  ==  relu(x*A + B),  A = a1*a2, B = b1*a2 + b2
 
-The Pallas kernel streams x through VMEM once, reading the folded (A, B)
-vectors from VMEM, instead of trusting XLA to fuse the 5-op chain across the
-BN/Scale/ReLU layer boundaries. Channels-last layout: the channel axis is the
-TPU lane dimension, so per-channel vectors broadcast across sublanes for free.
+Two execution paths:
+
+* XLA (DEFAULT, measured faster): the folded affine+ReLU is a 3-op elementwise
+  chain that XLA fuses into the producing/consuming convolutions' epilogues —
+  zero extra HBM passes. Measured on v5e (benchmarks/profile_inference.py):
+  routing this through the standalone Pallas kernel instead DOUBLED the
+  DenseNet encoder's time (163 ms -> 80 ms for 36x512^2 stacks when removed),
+  because a separate kernel forces a full read+write of every activation.
+* Pallas kernel (explicit ``dispatch.set_backend('pallas')`` only): kept as a
+  studied counter-example and for interpret-mode parity/grad tests.
 """
 from __future__ import annotations
 
@@ -22,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dispatch import use_pallas
+from .dispatch import forced_pallas
 
 _TILE_ROWS = 512
 
@@ -89,12 +95,14 @@ _affine_relu_2d.defvjp(_affine_relu_2d_fwd, _affine_relu_2d_bwd)
 def affine_relu(x, scale, shift, *, relu: bool = True, interpret: bool = False):
     """relu(x * scale + shift) with per-channel (last-axis) scale/shift.
 
-    x: (..., C); scale/shift: (C,). Dispatches Pallas on TPU, XLA elsewhere.
+    x: (..., C); scale/shift: (C,). Default = plain XLA ops (fused into conv
+    epilogues — see module docstring for the v5e measurement); the Pallas
+    kernel runs only under an explicit set_backend('pallas') or interpret.
     Differentiable on both paths (custom VJP backs the Pallas kernel).
     """
     scale = scale.astype(x.dtype)
     shift = shift.astype(x.dtype)
-    if not (use_pallas() or interpret):
+    if not (forced_pallas() or interpret):
         y = x * scale + shift
         return jnp.maximum(y, 0) if relu else y
     c = x.shape[-1]
