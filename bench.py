@@ -41,7 +41,7 @@ def main():
 
     preset = os.environ.get("BENCH_PRESET", "full")
     z = int(os.environ.get("BENCH_Z", "192"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     size = 512 if preset == "full" else 64
 
     cfg = InferConfig(

@@ -137,9 +137,9 @@ def cmd_test(args):
     ts, _, _ = trainer.create_train_state(None, cfg, arch)
     params, bn_state = ts.params, ts.bn_state
     if args.weights:
-        if args.weights.endswith(".npz"):
-            from .weights import convert as wconv
+        from .weights import convert as wconv
 
+        if args.weights.endswith(".npz"):
             raw = wconv.load_npz_checkpoint(args.weights)
             params, bn_state, report = wconv.match_to_model(raw, params, bn_state)
             print(
@@ -148,15 +148,31 @@ def cmd_test(args):
             )
         else:
             ckpt = ckpt_lib.Checkpointer(args.weights)
-            restored = (
-                ckpt.restore_best(ts) if args.restore == "best"
-                else ckpt.restore_latest(ts)
-            )
-            if restored is None:
-                raise SystemExit(
-                    f"no {args.restore} checkpoint under {args.weights}"
+            try:
+                restored = (
+                    ckpt.restore_best(ts) if args.restore == "best"
+                    else ckpt.restore_latest(ts)
                 )
-            params, bn_state = restored.params, restored.bn_state
+                if restored is None:
+                    raise SystemExit(
+                        f"no {args.restore} checkpoint under {args.weights}"
+                    )
+                params, bn_state = restored.params, restored.bn_state
+            except ValueError:
+                # cross-stage checkpoint (e.g. a 2D-stage state driving hybrid
+                # inference): merge by layer name, like the reference's
+                # load_weights(by_name=True) (topology.py:3107)
+                raw = wconv.load_init_weights(
+                    args.weights, best=args.restore == "best"
+                )
+                params, bn_state, report = wconv.match_to_model(
+                    raw, params, bn_state
+                )
+                print(
+                    f"weights (by-name, cross-stage): "
+                    f"{len(report['loaded'])} layers loaded, "
+                    f"{len(report['skipped'])} skipped"
+                )
     predictor.predict_directory(
         params,
         bn_state,
