@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..core.module import Ctx, init as module_init, maybe_remat
 from . import layers as L
+from . import zfold
 
 EPS_ENCODER = 1.1e-5  # reference denseunet3d.py:28
 ENC_BLOCKS = (3, 4, 12, 8)  # reference denseunet3d.py:126
@@ -33,24 +34,79 @@ PRESETS = {
 }
 
 
-def _conv_block3d(ctx, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
+class _DirectOps:
+    """Op set running (B, H, W, D, C) tensors through layers.conv3d et al."""
+
+    folded = False
+
+    def conv(self, ctx, x, name, features, kernel, **kw):
+        return L.conv3d(ctx, x, name, features, kernel, **kw)
+
+    def max_pool(self, x, window, stride, pad=0):
+        return L.max_pool(x, window, stride, pad=pad)
+
+    def avg_pool(self, x, window, stride):
+        return L.avg_pool(x, window, stride)
+
+    def upsample(self, x, factors):
+        return L.upsample_nearest(x, factors)
+
+    def unfold(self, x):
+        return x
+
+
+class _FoldedOps:
+    """Op set running (B*D, H, W, C) z-folded tensors (models/zfold.py).
+
+    Tracks the current depth as z-strided ops consume/produce it. Exact to
+    float-sum reassociation vs _DirectOps; ~3x faster on TPU (BENCH_NOTES.md:
+    XLA lowers 3-spatial-dim convs poorly).
+    """
+
+    folded = True
+
+    def __init__(self, batch, depth):
+        self.b = batch
+        self.d = depth
+
+    def conv(self, ctx, x, name, features, kernel, **kw):
+        y, self.d = zfold.conv3d(ctx, x, self.b, self.d, name, features, kernel, **kw)
+        return y
+
+    def max_pool(self, x, window, stride, pad=0):
+        y, self.d = zfold.max_pool(x, self.b, self.d, window, stride, pad=pad)
+        return y
+
+    def avg_pool(self, x, window, stride):
+        y, self.d = zfold.avg_pool(x, self.b, self.d, window, stride)
+        return y
+
+    def upsample(self, x, factors):
+        y, self.d = zfold.upsample_nearest(x, self.b, self.d, factors)
+        return y
+
+    def unfold(self, x):
+        return zfold.unfold(x, self.b, self.d)
+
+
+def _conv_block3d(ctx, ops, x, stage, branch, growth, *, frozen, dropout_rate=0.0):
     """Reference denseunet3d.py:18-52."""
     base = f"3dconv{stage}_{branch}"
     inter = growth * 4
     x = L.bn_scale_relu(
         ctx, x, base + "_x1_bn", base + "_x1_scale", eps=EPS_ENCODER, frozen=frozen
     )
-    x = L.conv3d(ctx, x, base + "_x1", inter, 1, padding="valid", use_bias=False)
+    x = ops.conv(ctx, x, base + "_x1", inter, 1, padding="valid", use_bias=False)
     x = L.dropout(ctx, x, dropout_rate)
     x = L.bn_scale_relu(
         ctx, x, base + "_x2_bn", base + "_x2_scale", eps=EPS_ENCODER, frozen=frozen
     )
-    x = L.conv3d(ctx, x, base + "_x2", growth, 3, padding=1, use_bias=False)
+    x = ops.conv(ctx, x, base + "_x2", growth, 3, padding=1, use_bias=False)
     x = L.dropout(ctx, x, dropout_rate)
     return x
 
 
-def _dense_block3d(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropout_rate=0.0):
+def _dense_block3d(ctx, ops, x, stage, nb_layers, nb_filter, growth, *, frozen, dropout_rate=0.0):
     """Reference denseunet3d.py:53-77. Blocks remat-wrapped like the 2D path."""
     feat = x
     for i in range(nb_layers):
@@ -58,7 +114,7 @@ def _dense_block3d(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropo
         out = maybe_remat(
             ctx,
             lambda c, f, b=branch: _conv_block3d(
-                c, f, stage, b, growth, frozen=frozen, dropout_rate=dropout_rate
+                c, ops, f, stage, b, growth, frozen=frozen, dropout_rate=dropout_rate
             ),
             feat,
         )
@@ -67,24 +123,24 @@ def _dense_block3d(ctx, x, stage, nb_layers, nb_filter, growth, *, frozen, dropo
     return feat, nb_filter
 
 
-def _transition3d(ctx, x, stage, nb_filter, compression, *, frozen, dropout_rate=0.0):
+def _transition3d(ctx, ops, x, stage, nb_filter, compression, *, frozen, dropout_rate=0.0):
     """Reference denseunet3d.py:78-104 — z-preserving (2,2,1) average pool."""
     base = f"3dconv{stage}_blk"
     x = L.bn_scale_relu(
         ctx, x, base + "_bn", base + "_scale", eps=EPS_ENCODER, frozen=frozen
     )
-    x = L.conv3d(
+    x = ops.conv(
         ctx, x, base, int(nb_filter * compression), 1, padding="valid", use_bias=False
     )
     x = L.dropout(ctx, x, dropout_rate)
-    x = L.avg_pool(x, (2, 2, 1), (2, 2, 1))
+    x = ops.avg_pool(x, (2, 2, 1), (2, 2, 1))
     return x
 
 
-def _up_stage3d(ctx, x, idx, features, up, *, frozen):
+def _up_stage3d(ctx, ops, x, idx, features, up, *, frozen):
     """UpSample -> Conv3x3x3 -> BN -> ReLU (reference denseunet3d.py:158-186)."""
-    x = L.upsample_nearest(x, up)
-    x = L.conv3d(ctx, x, f"3dconv_up{idx}", features, 3, padding="same")
+    x = ops.upsample(x, up)
+    x = ops.conv(ctx, x, f"3dconv_up{idx}", features, 3, padding="same")
     x = L.batch_norm(ctx, x, f"3dbn_up{idx}", eps=1e-3, frozen=frozen)
     return L.relu(x)
 
@@ -101,55 +157,69 @@ def apply(
     growth: int = GROWTH_RATE,
     decoder_widths: tuple = (504, 224, 192, 96, 64),
     taps: dict | None = None,
+    fold_z: bool = True,
 ):
     """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
 
     Returns (ac_up4 features (B,H,W,D,64), logits (B,H,W,D,num_classes)).
     ``taps``, when given a dict, collects block-boundary activations under the
     reference graph's names (parity audits, weights/parity.py).
+
+    ``fold_z`` (default ON): the whole branch executes z-folded — every op a
+    native 2D op on (B*D, H, W, C) tensors (models/zfold.py). Exact to
+    float-summation order vs ``fold_z=False``; measured ~3x faster on TPU,
+    where XLA lowers 3-spatial-dim convolutions poorly (BENCH_NOTES.md).
     """
     assert x.ndim == 5 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
     assert x.shape[3] % 4 == 0, f"depth {x.shape[3]} must be divisible by 4"
     compression = 1.0 - reduction
 
-    x = L.conv3d(ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
+    if fold_z:
+        x, b0, d0 = zfold.fold(x)
+        ops = _FoldedOps(b0, d0)
+    else:
+        ops = _DirectOps()
+
+    x = ops.conv(ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
     x = L.bn_scale_relu(
         ctx, x, "3dconv1_bn", "3dconv1_scale", eps=EPS_ENCODER, frozen=bn_frozen
     )
-    x = L.max_pool(x, 3, 2, pad=1)
+    x = ops.max_pool(x, 3, 2, pad=1)
 
     nb_filter = INITIAL_FILTERS
     stage = 1
     for block_idx, nb_layers in enumerate(blocks[:-1]):
         stage = block_idx + 2
         x, nb_filter = _dense_block3d(
-            ctx, x, stage, nb_layers, nb_filter, growth,
+            ctx, ops, x, stage, nb_layers, nb_filter, growth,
             frozen=bn_frozen, dropout_rate=block_dropout,
         )
         if taps is not None:
-            taps[f"3dconcat_{stage}_{nb_layers}"] = x
-        x = _transition3d(ctx, x, stage, nb_filter, compression, frozen=bn_frozen, dropout_rate=block_dropout)
+            taps[f"3dconcat_{stage}_{nb_layers}"] = ops.unfold(x)
+        x = _transition3d(ctx, ops, x, stage, nb_filter, compression, frozen=bn_frozen, dropout_rate=block_dropout)
         nb_filter = int(nb_filter * compression)
 
     final_stage = stage + 1
     x, nb_filter = _dense_block3d(
-        ctx, x, final_stage, blocks[-1], nb_filter, growth,
+        ctx, ops, x, final_stage, blocks[-1], nb_filter, growth,
         frozen=bn_frozen, dropout_rate=block_dropout,
     )
     x = L.bn_scale_relu(
         ctx, x, f"3dconv{final_stage}_blk_bn", f"3dconv{final_stage}_blk_scale", eps=EPS_ENCODER, frozen=bn_frozen
     )
     if taps is not None:
-        taps[f"3drelu{final_stage}_blk"] = x
+        taps[f"3drelu{final_stage}_blk"] = ops.unfold(x)
 
     w0, w1, w2, w3, w4 = decoder_widths
-    d = _up_stage3d(ctx, x, 0, w0, (2, 2, 1), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 1, w1, (2, 2, 1), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 2, w2, (2, 2, 1), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 3, w3, (2, 2, 2), frozen=bn_frozen)
-    d = _up_stage3d(ctx, d, 4, w4, (2, 2, 2), frozen=bn_frozen)
+    d = _up_stage3d(ctx, ops, x, 0, w0, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, ops, d, 1, w1, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, ops, d, 2, w2, (2, 2, 1), frozen=bn_frozen)
+    d = _up_stage3d(ctx, ops, d, 3, w3, (2, 2, 2), frozen=bn_frozen)
+    d = _up_stage3d(ctx, ops, d, 4, w4, (2, 2, 2), frozen=bn_frozen)
 
-    logits = L.conv3d(ctx, d, "3dclassifer", num_classes, 1, padding="same")
+    logits = ops.conv(ctx, d, "3dclassifer", num_classes, 1, padding="same")
+    d = ops.unfold(d)
+    logits = ops.unfold(logits)
     if taps is not None:
         taps["3dac_up4"] = d
         taps["3dclassifer"] = logits

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..core.module import Ctx, init as module_init
 from . import denseunet2d, denseunet3d
 from . import layers as L
+from . import zfold
 
 LOGIT_AMPLIFICATION = 250.0  # reference hybridnet.py:409
 
@@ -107,13 +108,25 @@ def apply(
     return logits
 
 
-def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3):
+def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3, fold_z: bool = True):
     """HFF fusion head (hybridnet.py:414-419): add -> Conv3D(64) -> Dropout
     (0.3 end2end / 0.1 3dpart) -> BN -> ReLU -> 1x1x1 Conv '2d3dclassifer'.
 
     Factored out so the shared-2D inference path (infer/device_pipeline.py)
     applies the identical head without rebuilding the full hybrid graph.
+    ``fold_z`` executes the head's convs z-folded (models/zfold.py) — exact
+    to float-summation order, faster on TPU.
     """
+    if fold_z:
+        f3, b, d = zfold.fold(feat3d)
+        f2, _, _ = zfold.fold(fea2d)
+        fused = f3 + f2  # HFF (hybridnet.py:414)
+        f, _ = zfold.conv3d(ctx, fused, b, d, "fianl_conv", 64, 3, padding="same")  # [sic]
+        f = L.dropout(ctx, f, 0.3 if arch == "end2end" else 0.1)
+        f = L.batch_norm(ctx, f, "final_bn", eps=1e-3)
+        f = L.relu(f)
+        out, _ = zfold.conv3d(ctx, f, b, d, "2d3dclassifer", num_classes, 1, padding="same")
+        return zfold.unfold(out, b, d)
     fused = feat3d + fea2d  # HFF (hybridnet.py:414)
     f = L.conv3d(ctx, fused, "fianl_conv", 64, 3, padding="same")  # [sic] reference name
     f = L.dropout(ctx, f, 0.3 if arch == "end2end" else 0.1)

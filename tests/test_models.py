@@ -156,3 +156,130 @@ def test_dilated_resnet_forward():
     x = jnp.ones((1, 32, 32, 4, 1))
     y = dilated_resnet.apply(Ctx(params, state), x)
     assert y.shape == (1, 32, 32, 4, 2)
+
+
+# ---------------------------------------------------------------------------
+# z-folded execution (models/zfold.py): exact vs the direct 3D path
+# ---------------------------------------------------------------------------
+
+
+def test_zfold_conv3d_matches_direct():
+    """Tap-packed folded convs == layers.conv3d for every kernel/stride the
+    3D graph uses (1x1x1, 3x3x3 s1 p1, 3x3x3 SAME, 7x7x7 s2 p3)."""
+    from hdenseunet_tpu.models import layers as L
+    from hdenseunet_tpu.models import zfold
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 8, 6)).astype(np.float32))
+    xf, b, d = zfold.fold(x)
+
+    for kernel, stride, padding, feats in [
+        (1, 1, "valid", 10),
+        (3, 1, 1, 5),
+        (3, 1, "same", 7),
+        (7, 2, 3, 9),
+    ]:
+        params = {}
+
+        class _Cap:
+            compute_dtype = jnp.float32
+            flops = None
+
+            def param(self, name, leaf, shape, init):
+                key = (name, leaf)
+                if key not in params:
+                    params[key] = jnp.asarray(
+                        rng.normal(0, 0.3, shape).astype(np.float32)
+                    )
+                return params[key]
+
+        ctx = _Cap()
+        ref = L.conv3d(ctx, x, "w", feats, kernel, stride=stride, padding=padding)
+        got_f, d_out = zfold.conv3d(
+            ctx, xf, b, d, "w", feats, kernel, stride=stride, padding=padding
+        )
+        got = zfold.unfold(got_f, b, d_out)
+        assert got.shape == ref.shape, (kernel, stride, padding, got.shape, ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5,
+            err_msg=f"kernel={kernel} stride={stride} padding={padding}",
+        )
+
+
+def test_zfold_pool_and_upsample_match_direct():
+    from hdenseunet_tpu.models import layers as L
+    from hdenseunet_tpu.models import zfold
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 8, 3)).astype(np.float32))
+    xf, b, d = zfold.fold(x)
+
+    ref = L.max_pool(x, 3, 2, pad=1)
+    got, d_out = zfold.max_pool(xf, b, d, 3, 2, pad=1)
+    np.testing.assert_allclose(
+        np.asarray(zfold.unfold(got, b, d_out)), np.asarray(ref), atol=1e-6
+    )
+
+    ref = L.avg_pool(x, (2, 2, 1), (2, 2, 1))
+    got, d_out = zfold.avg_pool(xf, b, d, (2, 2, 1), (2, 2, 1))
+    np.testing.assert_allclose(
+        np.asarray(zfold.unfold(got, b, d_out)), np.asarray(ref), atol=1e-6
+    )
+
+    for f in [(2, 2, 1), (2, 2, 2)]:
+        ref = L.upsample_nearest(x, f)
+        got, d_out = zfold.upsample_nearest(xf, b, d, f)
+        np.testing.assert_allclose(
+            np.asarray(zfold.unfold(got, b, d_out)), np.asarray(ref), atol=0
+        )
+
+
+def test_denseunet3d_fold_z_matches_direct():
+    """Full 3D graph: fold_z=True (default) == fold_z=False to f32
+    reassociation tolerance, inference AND train mode incl. BN state."""
+    kw = denseunet3d.PRESETS["tiny"]
+    params, bn = denseunet3d.init(
+        jax.random.key(0), input_size=32, input_cols=8, channels=4, **kw
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1, (2, 32, 32, 8, 4)).astype(np.float32)
+    )
+
+    ctx_a = Ctx(params, bn, train=False, compute_dtype=jnp.float32)
+    f_a, l_a = denseunet3d.apply(ctx_a, x, fold_z=False, **kw)
+    ctx_b = Ctx(params, bn, train=False, compute_dtype=jnp.float32)
+    f_b, l_b = denseunet3d.apply(ctx_b, x, fold_z=True, **kw)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b), atol=1e-5)
+
+    # train mode: live BN statistics must update identically (same element set)
+    ctx_a = Ctx(params, bn, train=True, compute_dtype=jnp.float32, rng=jax.random.key(3))
+    _ = denseunet3d.apply(ctx_a, x, fold_z=False, **kw)
+    ctx_b = Ctx(params, bn, train=True, compute_dtype=jnp.float32, rng=jax.random.key(3))
+    _ = denseunet3d.apply(ctx_b, x, fold_z=True, **kw)
+    sa, sb = ctx_a.new_state, ctx_b.new_state
+    assert set(sa) == set(sb)
+    for layer in sa:
+        for leaf in sa[layer]:
+            np.testing.assert_allclose(
+                np.asarray(sa[layer][leaf]), np.asarray(sb[layer][leaf]),
+                atol=1e-5, err_msg=f"{layer}/{leaf}",
+            )
+
+
+def test_hff_head_fold_z_matches_direct():
+    params, bn = hybrid.init(
+        jax.random.key(0), input_size=32, input_cols=8, batch=1,
+        arch="3dpart", preset="tiny",
+    )
+    rng = np.random.default_rng(4)
+    feat_w = hybrid.denseunet3d.PRESETS["tiny"]["decoder_widths"][-1]
+    f3 = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 8, feat_w)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 8, feat_w)).astype(np.float32))
+    a = hybrid.hff_head(
+        Ctx(params, bn, compute_dtype=jnp.float32), f3, f2, arch="3dpart", fold_z=False
+    )
+    b = hybrid.hff_head(
+        Ctx(params, bn, compute_dtype=jnp.float32), f3, f2, arch="3dpart", fold_z=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
