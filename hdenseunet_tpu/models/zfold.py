@@ -33,6 +33,11 @@ from jax import lax
 from ..core.module import Ctx
 from . import layers as L
 
+# one-shot tap-packed conv intermediates above this size run window-by-window
+# (lax.map) instead; ~1 GiB keeps the full-preset 512^2 decoder and the
+# 7-tap stem inside a v5e-1's HBM alongside the volume score buffers
+_MAX_PACK_BYTES = 1 << 30
+
 
 def fold(x):
     """(B, H, W, D, C) -> ((B*D, H, W, C), B, D)."""
@@ -108,19 +113,22 @@ def conv3d(
     # pack the kz z-taps into output channels of one native 2D conv
     w = w.astype(ctx.compute_dtype)
     wp = jnp.concatenate([w[:, :, t] for t in range(kz)], axis=-1)  # (kh,kw,cin,kz*F)
-    y = lax.conv_general_dilated(
-        xf.astype(ctx.compute_dtype),
-        wp,
-        window_strides=(sh, sw),
-        padding=pads_hw,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    hh, ww = y.shape[1], y.shape[2]
-    if kz == 1 and sz == 1:
-        out = y
-    else:
+    xc = xf.astype(ctx.compute_dtype)
+
+    def one_shot(x4, nb):
+        """Packed conv + z-shifted adds for nb batch elements of depth d."""
+        y = lax.conv_general_dilated(
+            x4,
+            wp,
+            window_strides=(sh, sw),
+            padding=pads_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        hh, ww = y.shape[1], y.shape[2]
+        if kz == 1 and sz == 1:
+            return y
         # out[:, dz] = sum_t y_t[:, sz*dz + t - pz_lo]   (zero beyond edges)
-        y5 = y.reshape(b, d, hh, ww, kz, features)
+        y5 = y.reshape(nb, d, hh, ww, kz, features)
         if pz_lo or pz_hi:
             y5 = jnp.pad(y5, ((0, 0), (pz_lo, pz_hi), (0, 0), (0, 0), (0, 0), (0, 0)))
         out = None
@@ -128,7 +136,28 @@ def conv3d(
             sl = lax.slice_in_dim(y5, t, t + sz * (d_out - 1) + 1, stride=sz, axis=1)
             part = sl[:, :, :, :, t]
             out = part if out is None else out + part
-        out = out.reshape(b * d_out, hh, ww, features)
+        return out.reshape(nb * d_out, hh, ww, features)
+
+    # The packed intermediate holds kz*F channels at ALL d z-positions. At
+    # full window batches and large spatial sizes (the 7-tap stem, the 512^2
+    # decoder convs) that is multi-GB; bound it by mapping window-by-window
+    # (lax.map over the batch axis — same arithmetic, bounded live memory).
+    hw_out = [
+        (xf.shape[1 + i] + pads_hw[i][0] + pads_hw[i][1] - (kh, kw)[i])
+        // (sh, sw)[i]
+        + 1
+        for i in range(2)
+    ]
+    pack_bytes = (
+        b * (d + pz_lo + pz_hi) * int(np.prod(hw_out)) * kz * features
+        * jnp.dtype(ctx.compute_dtype).itemsize
+    )
+    if kz > 1 and b > 1 and pack_bytes > _MAX_PACK_BYTES:
+        x6 = xc.reshape(b, d, *xc.shape[1:])
+        out = lax.map(lambda xw: one_shot(xw, 1), x6)  # (b, d_out, h', w', F)
+        out = out.reshape(b * d_out, *out.shape[2:])
+    else:
+        out = one_shot(xc, b)
     if use_bias:
         bias = ctx.param(name, "bias", (features,), "zeros")
         out = out + bias.astype(out.dtype)

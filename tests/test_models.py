@@ -205,6 +205,22 @@ def test_zfold_conv3d_matches_direct():
             err_msg=f"kernel={kernel} stride={stride} padding={padding}",
         )
 
+        # memory-bounded window-by-window path (lax.map) must agree too
+        orig = zfold._MAX_PACK_BYTES
+        try:
+            zfold._MAX_PACK_BYTES = 1
+            got_c, d_out_c = zfold.conv3d(
+                ctx, xf, b, d, "w", feats, kernel, stride=stride, padding=padding
+            )
+        finally:
+            zfold._MAX_PACK_BYTES = orig
+        assert d_out_c == d_out
+        np.testing.assert_allclose(
+            np.asarray(zfold.unfold(got_c, b, d_out_c)), np.asarray(ref),
+            atol=1e-5, rtol=1e-5,
+            err_msg=f"chunked kernel={kernel} stride={stride} padding={padding}",
+        )
+
 
 def test_zfold_pool_and_upsample_match_direct():
     from hdenseunet_tpu.models import layers as L
