@@ -157,7 +157,7 @@ def apply(
     growth: int = GROWTH_RATE,
     decoder_widths: tuple = (504, 224, 192, 96, 64),
     taps: dict | None = None,
-    fold_z: bool = True,
+    fold_z: bool = False,
 ):
     """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
 
@@ -165,11 +165,13 @@ def apply(
     ``taps``, when given a dict, collects block-boundary activations under the
     reference graph's names (parity audits, weights/parity.py).
 
-    ``fold_z`` (default ON): the whole branch executes z-folded — every op a
-    native 2D op on (B*D, H, W, C) tensors (models/zfold.py). Exact to
-    float-summation order vs ``fold_z=False``; measured ~3x faster on TPU,
-    where XLA lowers 3-spatial-dim convolutions poorly (BENCH_NOTES.md).
-    """
+    ``fold_z``: execute the whole branch z-folded — every op a native 2D op
+    on (B*D, H, W, C) tensors (models/zfold.py), exact to float-summation
+    order vs the default. Kept OFF: although isolated conv microbenches
+    favored 2D lowering ~3x, at model level on v5e the folded branch
+    measured ~1.8x SLOWER than XLA's in-context conv3d (the z-shift adds
+    re-read 3x-channel intermediates and the memory-bounding lax.map
+    serializes; BENCH_NOTES.md round-2 negative results)."""
     assert x.ndim == 5 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
     assert x.shape[3] % 4 == 0, f"depth {x.shape[3]} must be divisible by 4"
     compression = 1.0 - reduction

@@ -108,14 +108,15 @@ def apply(
     return logits
 
 
-def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3, fold_z: bool = True):
+def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3, fold_z: bool = False):
     """HFF fusion head (hybridnet.py:414-419): add -> Conv3D(64) -> Dropout
     (0.3 end2end / 0.1 3dpart) -> BN -> ReLU -> 1x1x1 Conv '2d3dclassifer'.
 
     Factored out so the shared-2D inference path (infer/device_pipeline.py)
     applies the identical head without rebuilding the full hybrid graph.
     ``fold_z`` executes the head's convs z-folded (models/zfold.py) — exact
-    to float-summation order, faster on TPU.
+    to float-summation order; off by default (measured slower at model
+    level on v5e, see denseunet3d.apply docstring).
     """
     if fold_z:
         f3, b, d = zfold.fold(feat3d)
