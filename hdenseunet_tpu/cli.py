@@ -230,7 +230,14 @@ def cmd_evaluate(args):
         if args.global_dice:
             preds.append(pred)
             truths.append(truth)
-        print(f"volume {i}: liver {d['liver']:.4f} tumor {d['tumor']:.4f}")
+        line = f"volume {i}: liver {d['liver']:.4f} tumor {d['tumor']:.4f}"
+        if args.all_metrics:
+            m = metrics.metrics_per_class(pred, truth)
+            line += (
+                f"  [liver voe {m['liver']['voe']:.4f} rvd {m['liver']['rvd']:+.4f}"
+                f" | tumor voe {m['tumor']['voe']:.4f} rvd {m['tumor']['rvd']:+.4f}]"
+            )
+        print(line)
     mean = {
         k: float(np.mean([c[k] for c in per_case])) for k in ("liver", "tumor")
     }
@@ -311,6 +318,8 @@ def build_parser():
     sp.add_argument("--num-volumes", type=int, required=True)
     sp.add_argument("--global-dice", action="store_true",
                     help="also report Dice over the union of all cases")
+    sp.add_argument("--all-metrics", action="store_true",
+                    help="also report VOE and RVD per case (LiTS secondary metrics)")
     sp.set_defaults(fn=cmd_evaluate)
     return p
 

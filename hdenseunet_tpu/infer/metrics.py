@@ -45,3 +45,37 @@ def global_dice(preds: list[np.ndarray], truths: list[np.ndarray]) -> dict:
     return {
         k: (1.0 if denom[k] == 0 else float(2.0 * inter[k] / denom[k])) for k in inter
     }
+
+
+def voe(pred: np.ndarray, truth: np.ndarray, *, empty_value: float = 0.0) -> float:
+    """Volumetric Overlap Error = 1 - |A∩B| / |A∪B| (LiTS secondary metric)."""
+    pred = pred.astype(bool)
+    truth = truth.astype(bool)
+    union = np.logical_or(pred, truth).sum()
+    if union == 0:
+        return empty_value
+    return float(1.0 - np.logical_and(pred, truth).sum() / union)
+
+
+def rvd(pred: np.ndarray, truth: np.ndarray, *, empty_value: float = 0.0) -> float:
+    """Relative Volume Difference = (|A| - |B|) / |B| (signed; LiTS metric)."""
+    pv = float(pred.astype(bool).sum())
+    tv = float(truth.astype(bool).sum())
+    if tv == 0:
+        return empty_value if pv == 0 else np.inf
+    return (pv - tv) / tv
+
+
+def metrics_per_class(labelmap: np.ndarray, truth: np.ndarray) -> dict:
+    """Dice/VOE/RVD per LiTS class (liver = label>=1, tumor = label==2)."""
+    out = {}
+    for key, (pm, tm) in {
+        "liver": (labelmap >= 1, truth >= 1),
+        "tumor": (labelmap == 2, truth == 2),
+    }.items():
+        out[key] = {
+            "dice": dice(pm, tm),
+            "voe": voe(pm, tm),
+            "rvd": rvd(pm, tm),
+        }
+    return out

@@ -202,6 +202,27 @@ def test_dice_per_class_lits_convention():
     assert d["liver"] == 1.0 and d["tumor"] == 1.0  # liver includes tumor area
 
 
+def test_voe_rvd_and_metric_bundle():
+    a = np.zeros((4, 4), bool)
+    b = np.zeros((4, 4), bool)
+    a[:2] = True  # 8 voxels
+    b[1:3] = True  # 8 voxels, overlap 4, union 12
+    assert metrics.voe(a, b) == pytest.approx(1 - 4 / 12)
+    assert metrics.rvd(a, b) == pytest.approx(0.0)  # equal volumes
+    assert metrics.rvd(a, np.zeros((4, 4), bool)) == np.inf
+    assert metrics.voe(np.zeros(3), np.zeros(3)) == 0.0
+
+    pred = np.zeros((6, 6), np.int16)
+    truth = np.zeros((6, 6), np.int16)
+    pred[1:5, 1:5] = 1
+    truth[1:4, 1:5] = 1  # pred liver = 16 voxels, truth = 12, overlap 12
+    m = metrics.metrics_per_class(pred, truth)
+    assert m["liver"]["dice"] == pytest.approx(2 * 12 / (16 + 12))
+    assert m["liver"]["voe"] == pytest.approx(1 - 12 / 16)
+    assert m["liver"]["rvd"] == pytest.approx((16 - 12) / 12)
+    assert m["tumor"]["dice"] == 1.0  # both empty
+
+
 # ---------------------------------------------------------------------------
 # end-to-end volume path
 # ---------------------------------------------------------------------------
