@@ -158,16 +158,30 @@ def cmd_test(args):
                         f"no {args.restore} checkpoint under {args.weights}"
                     )
                 params, bn_state = restored.params, restored.bn_state
-            except ValueError:
+            except ValueError as e:
                 # cross-stage checkpoint (e.g. a 2D-stage state driving hybrid
                 # inference): merge by layer name, like the reference's
-                # load_weights(by_name=True) (topology.py:3107)
+                # load_weights(by_name=True) (topology.py:3107). A corrupt or
+                # wrong-config SAME-stage checkpoint also lands here — detect
+                # it by the merge loading suspiciously few layers and surface
+                # the original restore error instead of silently running with
+                # mostly-random weights.
                 raw = wconv.load_init_weights(
                     args.weights, best=args.restore == "best"
                 )
-                params, bn_state, report = wconv.match_to_model(
+                merged_params, merged_bn, report = wconv.match_to_model(
                     raw, params, bn_state
                 )
+                if not report["loaded"] or (
+                    len(report["loaded"]) < len(report["skipped"])
+                ):
+                    raise SystemExit(
+                        f"checkpoint restore failed ({e}); by-name merge "
+                        f"would load only {len(report['loaded'])} layers and "
+                        f"skip {len(report['skipped'])} — refusing partial "
+                        f"load of a non-cross-stage checkpoint"
+                    ) from e
+                params, bn_state = merged_params, merged_bn
                 print(
                     f"weights (by-name, cross-stage): "
                     f"{len(report['loaded'])} layers loaded, "

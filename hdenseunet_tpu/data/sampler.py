@@ -29,8 +29,9 @@ train_2ddense.py:119-122, plus 3 multiprocessing enqueuer workers,
 data_utils.py:530): ``batches(batch, threads=N)`` crops samples on a
 persistent thread pool (``DataConfig.crop_threads``) with a *counter-based*
 RNG — each sample's stream is derived from (seed, sample_index, attempt), so
-the produced batches are bit-identical for any thread count, including 1
-(tests/test_data.py::test_parallel_batches_deterministic). The hot per-sample
+the produced batches are bit-identical for any thread count >= 1
+(tests/test_data.py::test_parallel_batches_deterministic); ``threads=None``
+selects the legacy sequential stream instead. The hot per-sample
 work (mmap'd crop read, cv2 resize, or the native C++ kernel) releases the
 GIL, so the pool scales on multi-core hosts; benchmarks/sampler_throughput.py
 measures samples/s versus the chips' measured training consumption.
@@ -301,13 +302,15 @@ class CropSampler:
     def batches(self, batch: int, threads: int | None = None):
         """Infinite batch generator (reference generate_arrays_from_file).
 
-        ``threads > 1`` crops samples on a persistent pool (the reference's
+        ``threads >= 1`` crops samples on a persistent pool (the reference's
         14-thread-pool + 3-enqueuer-worker role, train_2ddense.py:119-122,
         data_utils.py:530) with counter-based RNG: the batch sequence is
-        bit-identical for every thread count.
+        bit-identical for every thread count, including 1. Only
+        ``threads=None`` keeps the legacy sequential ``self.rng`` stream
+        (a different stream by construction).
         """
-        if threads is not None and threads > 1:
-            yield from self._parallel_batches(batch, threads)
+        if threads is not None and threads >= 1:
+            yield from self._parallel_batches(batch, max(1, threads))
             return
         while True:
             yield self.sample_batch(batch)

@@ -59,8 +59,12 @@ class _FoldedOps:
     """Op set running (B*D, H, W, C) z-folded tensors (models/zfold.py).
 
     Tracks the current depth as z-strided ops consume/produce it. Exact to
-    float-sum reassociation vs _DirectOps; ~3x faster on TPU (BENCH_NOTES.md:
-    XLA lowers 3-spatial-dim convs poorly).
+    float-sum reassociation vs _DirectOps — but measured ~1.8x SLOWER at
+    model level (BENCH_NOTES.md round-2 levers: isolated conv microbenches
+    favor the 2D lowering ~3x, yet the z-shift's extra kz*F-channel
+    intermediates and the memory-bounding lax.map lose more than the lane
+    gain wins in the composed graph). Kept as an opt-in (`fold_z`, default
+    OFF) and as a documented negative result.
     """
 
     folded = True

@@ -60,7 +60,8 @@ def _z_pads(depth, kz, stride_z, padding):
         return total // 2, total - total // 2
     if padding == "valid":
         return 0, 0
-    p = padding if isinstance(padding, int) else padding
+    # explicit padding: int or per-axis tuple, same grammar as layers.conv3d
+    p = L._norm_tuple(padding, 3)[2]
     return p, p
 
 
@@ -90,7 +91,10 @@ def conv3d(
     cin = int(xf.shape[-1])
     w = ctx.param(name, "kernel", (kh, kw, kz, cin, features), init)
 
-    pads_hw = L._conv_padding(xf.shape[1:3], (kh, kw), (sh, sw), padding)
+    pad_hw = (
+        padding if isinstance(padding, (str, int)) else tuple(padding)[:2]
+    )
+    pads_hw = L._conv_padding(xf.shape[1:3], (kh, kw), (sh, sw), pad_hw)
     pz_lo, pz_hi = _z_pads(d, kz, sz, padding)
     d_out = (d + pz_lo + pz_hi - kz) // sz + 1
 
@@ -141,21 +145,68 @@ def conv3d(
     # The packed intermediate holds kz*F channels at ALL d z-positions. At
     # full window batches and large spatial sizes (the 7-tap stem, the 512^2
     # decoder convs) that is multi-GB; bound it by mapping window-by-window
-    # (lax.map over the batch axis — same arithmetic, bounded live memory).
+    # (lax.map over the batch axis) and, when one window alone exceeds the
+    # bound (e.g. batch-1 decode at 512^2), by chunking along output-z with
+    # a kz-1 input halo — same arithmetic either way, bounded live memory.
     hw_out = [
         (xf.shape[1 + i] + pads_hw[i][0] + pads_hw[i][1] - (kh, kw)[i])
         // (sh, sw)[i]
         + 1
         for i in range(2)
     ]
-    pack_bytes = (
-        b * (d + pz_lo + pz_hi) * int(np.prod(hw_out)) * kz * features
-        * jnp.dtype(ctx.compute_dtype).itemsize
+    itemsize = jnp.dtype(ctx.compute_dtype).itemsize
+    per_window = (
+        (d + pz_lo + pz_hi) * int(np.prod(hw_out)) * kz * features * itemsize
     )
-    if kz > 1 and b > 1 and pack_bytes > _MAX_PACK_BYTES:
-        x6 = xc.reshape(b, d, *xc.shape[1:])
-        out = lax.map(lambda xw: one_shot(xw, 1), x6)  # (b, d_out, h', w', F)
-        out = out.reshape(b * d_out, *out.shape[2:])
+    pack_bytes = b * per_window
+
+    def z_chunked():
+        """Output-z computed in equal chunks of dc positions via lax.map;
+        each chunk's packed conv reads its sz*(dc-1)+kz input slices (zero
+        z-padding applied up-front — z rides the 2D conv's batch axis, so a
+        zero input slice yields a zero conv output, matching one_shot's
+        post-conv padding)."""
+        x5 = xc.reshape(b, d, *xc.shape[1:])
+        if pz_lo or pz_hi:
+            x5 = jnp.pad(x5, ((0, 0), (pz_lo, pz_hi)) + ((0, 0),) * 3)
+        per_z = b * int(np.prod(hw_out)) * kz * features * itemsize
+        dc = 1
+        for cand in range(1, d_out + 1):
+            if d_out % cand == 0 and (sz * (cand - 1) + kz) * per_z <= _MAX_PACK_BYTES:
+                dc = cand
+        din = sz * (dc - 1) + kz
+        starts = jnp.arange(d_out // dc, dtype=jnp.int32) * (sz * dc)
+
+        def chunk(z0):
+            xs = lax.dynamic_slice_in_dim(x5, z0, din, axis=1)
+            xs4 = xs.reshape(b * din, *xs.shape[2:])
+            y = lax.conv_general_dilated(
+                xs4,
+                wp,
+                window_strides=(sh, sw),
+                padding=pads_hw,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            hh, ww = y.shape[1], y.shape[2]
+            y6 = y.reshape(b, din, hh, ww, kz, features)
+            out_c = None
+            for t in range(kz):
+                sl = lax.slice_in_dim(y6, t, t + sz * (dc - 1) + 1, stride=sz, axis=1)
+                part = sl[:, :, :, :, t]
+                out_c = part if out_c is None else out_c + part
+            return out_c  # (b, dc, h', w', F)
+
+        out6 = lax.map(chunk, starts)  # (n_chunks, b, dc, h', w', F)
+        out6 = jnp.moveaxis(out6, 0, 1)  # (b, n_chunks, dc, h', w', F)
+        return out6.reshape(b * d_out, *out6.shape[3:])
+
+    if kz > 1 and pack_bytes > _MAX_PACK_BYTES:
+        if b > 1 and per_window <= _MAX_PACK_BYTES:
+            x6 = xc.reshape(b, d, *xc.shape[1:])
+            out = lax.map(lambda xw: one_shot(xw, 1), x6)  # (b, d_out, h', w', F)
+            out = out.reshape(b * d_out, *out.shape[2:])
+        else:
+            out = z_chunked()
     else:
         out = one_shot(xc, b)
     if use_bias:

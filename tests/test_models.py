@@ -222,6 +222,55 @@ def test_zfold_conv3d_matches_direct():
         )
 
 
+def test_zfold_conv3d_batch1_bounded_and_tuple_padding():
+    """The memory bound must hold for b == 1 too (z-chunked path, ADVICE r2)
+    and zfold.conv3d must accept the same tuple-padding grammar as
+    layers.conv3d."""
+    from hdenseunet_tpu.models import layers as L
+    from hdenseunet_tpu.models import zfold
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 12, 12, 10, 4)).astype(np.float32))
+    xf, b, d = zfold.fold(x)
+
+    for kernel, stride, padding, feats in [
+        (3, 1, 1, 5),
+        (3, 1, (1, 1, 1), 5),  # tuple padding — previously a TypeError
+        (7, 2, (3, 3, 3), 6),
+        (3, (1, 1, 2), "same", 5),
+    ]:
+        params = {}
+
+        class _Cap:
+            compute_dtype = jnp.float32
+            flops = None
+
+            def param(self, name, leaf, shape, init):
+                key = (name, leaf)
+                if key not in params:
+                    params[key] = jnp.asarray(
+                        rng.normal(0, 0.3, shape).astype(np.float32)
+                    )
+                return params[key]
+
+        ctx = _Cap()
+        ref = L.conv3d(ctx, x, "w", feats, kernel, stride=stride, padding=padding)
+        orig = zfold._MAX_PACK_BYTES
+        try:
+            zfold._MAX_PACK_BYTES = 1  # force the bounded (z-chunked) path
+            got_f, d_out = zfold.conv3d(
+                ctx, xf, b, d, "w", feats, kernel, stride=stride, padding=padding
+            )
+        finally:
+            zfold._MAX_PACK_BYTES = orig
+        got = zfold.unfold(got_f, b, d_out)
+        assert got.shape == ref.shape, (kernel, stride, padding, got.shape, ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5,
+            err_msg=f"b=1 kernel={kernel} stride={stride} padding={padding}",
+        )
+
+
 def test_zfold_pool_and_upsample_match_direct():
     from hdenseunet_tpu.models import layers as L
     from hdenseunet_tpu.models import zfold
