@@ -118,6 +118,11 @@ class InferConfig:
     # bit-identical semantics (the hybrid's 2D BNs are always frozen, so
     # batch composition cannot change values)
     dedup_2d: bool = True
+    # unroll factor for the device loop over window batches (lax.scan
+    # unroll): >1 lets XLA schedule batch i+1's 2D encoder against batch i's
+    # 3D/accumulate tail. Semantics identical; see BENCH_NOTES.md for the
+    # measured effect.
+    batch_unroll: int = 1
 
 
 @dataclasses.dataclass

@@ -55,11 +55,44 @@ def make_grid(starts_list: list[int], wb: int, n_batches: int):
     return starts.reshape(n_batches, wb), weights.reshape(n_batches, wb)
 
 
+def _pad_vol(vol, pad_to):
+    """Device-side zero-pad of the wire volume to the compute shape — the
+    host link then carries only the real (x, y, z-crop) voxels instead of the
+    full bucket-padded buffer (~30% less h2d for a median liver z-range)."""
+    if pad_to is None or tuple(vol.shape) == tuple(pad_to):
+        return vol
+    return jnp.pad(vol, [(0, t - s) for s, t in zip(vol.shape, pad_to)])
+
+
+def _batch_loop(n_batches, body, init, starts, weights, unroll):
+    """Run body(carry, s_i, w_i) over window batches.
+
+    unroll == 1: lax.fori_loop (lowest compile cost, strictly serial).
+    unroll > 1: lax.scan(unroll=k) — the unrolled HLO exposes consecutive
+    batches' independent work (batch i+1's 2D encoder vs batch i's
+    3D/accumulate tail) to XLA's scheduler. Numerics identical: the carry
+    (score/count accumulators) sequences the updates either way.
+    """
+    if unroll > 1 and n_batches > 1:
+        def sbody(carry, sw):
+            return body(carry, sw[0], sw[1]), None
+
+        carry, _ = lax.scan(
+            sbody, init, (starts, weights), unroll=min(unroll, n_batches)
+        )
+        return carry
+
+    def fbody(i, carry):
+        return body(carry, starts[i], weights[i])
+
+    return lax.fori_loop(0, n_batches, fbody, init)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "output",
-        "mesh",
+        "mesh", "pad_to", "unroll",
     ),
 )
 def _score_volume(
@@ -77,14 +110,18 @@ def _score_volume(
     cols: int,
     output: str = "probs",
     mesh=None,
+    pad_to=None,
+    unroll: int = 1,
 ):
-    """vol: (X, Y, Zpad) mean-subtracted; starts/weights: (n_batches, wb).
+    """vol: (X, Y, Zwire) mean-subtracted (zero-padded on device to
+    ``pad_to``); starts/weights: (n_batches, wb).
 
     ``output`` selects what the single compiled program returns — 'probs'
     (X, Y, Zpad, C) averaged probabilities, 'packed' thresholded uint8 mask,
     or 'digest' 3 scalars — so thresholding/digesting costs no extra jit
     dispatch (each dispatch round-trips the host link).
     """
+    vol = _pad_vol(vol, pad_to)
     x, y, zp = vol.shape
     n_batches, wb = starts.shape
     dtype = jnp.dtype(compute_dtype)
@@ -94,10 +131,8 @@ def _score_volume(
     score0 = jnp.zeros((x, y, zp, num_classes), jnp.float32)
     count0 = jnp.zeros((zp,), jnp.float32)
 
-    def body(i, carry):
+    def body(carry, s_i, w_i):
         score, count = carry
-        s_i = starts[i]
-        w_i = weights[i]
         wins = jax.vmap(
             lambda s: lax.dynamic_slice(vol, (0, 0, s), (x, y, cols))
         )(s_i)[..., None]
@@ -124,7 +159,9 @@ def _score_volume(
 
         return lax.fori_loop(0, wb, acc, (score, count))
 
-    score, count = lax.fori_loop(0, n_batches, body, (score0, count0))
+    score, count = _batch_loop(
+        n_batches, body, (score0, count0), starts, weights, unroll
+    )
     score = score / (count[None, None, :, None] + 1e-4)  # funcs.py:48
     if output == "packed":
         return _pack_labels(score, thresholds[0], thresholds[1], num_classes=num_classes)
@@ -186,6 +223,7 @@ class DeviceVolumeScorer:
         self.shared_2d = (
             getattr(cfg, "shared_2d", False) if shared_2d is None else shared_2d
         )
+        self._krep_cache: dict = {}
 
     def _bucketed(self, z: int) -> int:
         need = max(z, self.cfg.input_cols)
@@ -267,6 +305,60 @@ class DeviceVolumeScorer:
             preset=self.preset, num_classes=self.num_classes, arch=self.arch,
         )
 
+    _WIRE_BUCKET = 16  # wire z rounds up to this (bounds recompiles to 4/zbucket)
+
+    def _args(self, vol: np.ndarray, mini_z: int, maxi_z: int, output: str = "probs"):
+        """Kernel + argument tuple for one volume: (kernel, arrays, static_kw,
+        plan). Shared by score() and compute_seconds() so the timed program
+        can never drift from the served one.
+
+        The wire array carries only the real z-crop (the liver range plus the
+        reference's -5/+10 margins, funcs.py:19-20), rounded up to
+        _WIRE_BUCKET slices; the kernel zero-pads to the compute shape on
+        device (_pad_vol) — h2d bytes track the volume's true z-extent, not
+        the z-bucket.
+        """
+        x0, y0, _ = vol.shape
+        p = self.plan(vol.shape, mini_z, maxi_z)
+        z_lo, z, zp = p["z_lo"], p["z"], p["zp"]
+        zw = min(zp, -(-z // self._WIRE_BUCKET) * self._WIRE_BUCKET)
+        vol_p = np.zeros((x0, y0, zw), np.float32)
+        vol_p[:, :, :z] = vol[:, :, z_lo : z_lo + z]
+        # cast host-side so the wire carries the compute dtype (bf16 = half
+        # the bytes of f32; after HU clip [-200,250] and mean-48 subtraction
+        # every integer value lies in [-248, 202], all exact in bf16)
+        wire = jnp.asarray(vol_p.astype(jnp.dtype(self.compute_dtype)))
+        common = dict(
+            arch=self.arch,
+            preset=self.preset,
+            compute_dtype=self.compute_dtype,
+            num_classes=self.num_classes,
+            cols=self.cfg.input_cols,
+            pad_to=(p["xp"], p["yp"], zp),
+        )
+        if self.shared_2d:
+            arrays = (
+                self.params, self.bn_state, wire, jnp.int32(z),
+                jnp.asarray(p["starts"]), jnp.asarray(p["weights"]),
+            )
+            kw = dict(chunk2d=4 if zp % 4 == 0 else self.cfg.input_cols, **common)
+            return _score_volume_shared2d, arrays, kw, p
+        kernel = _score_volume_dedup2d if p["dedup"] else _score_volume
+        arrays = (
+            self.params, self.bn_state, wire,
+            jnp.asarray(p["starts"]), jnp.asarray(p["weights"]),
+            jnp.asarray([self.cfg.thres_liver, self.cfg.thres_tumor], jnp.float32),
+        )
+        kw = dict(
+            output=output,
+            mesh=self.mesh,
+            unroll=max(1, int(getattr(self.cfg, "batch_unroll", 1))),
+            **common,
+        )
+        if p["dedup"]:
+            kw["stride"] = self.cfg.window_stride
+        return kernel, arrays, kw, p
+
     def score(self, vol: np.ndarray, mini_z: int, maxi_z: int, output: str = "probs"):
         """vol: (X, Y, Z) mean-subtracted -> device array (X, Y, Z, C) probs
         (or packed mask / scalar digest per ``output``, computed in the SAME
@@ -278,64 +370,91 @@ class DeviceVolumeScorer:
         background by construction (the reference also never scores it).
         """
         x0, y0, z_full = vol.shape
-        p = self.plan(vol.shape, mini_z, maxi_z)
-        z_lo, z, zp, wb = p["z_lo"], p["z"], p["zp"], p["wb"]
-        dedup = p["dedup"]
-        starts, weights = p["starts"], p["weights"]
-        vol_c = vol[:, :, z_lo : z_lo + z]
-        vol_p = np.zeros((p["xp"], p["yp"], zp), np.float32)
-        vol_p[:x0, :y0, :z] = vol_c
-        # cast host-side so the wire carries the compute dtype (bf16 = half
-        # the bytes of f32 — matters on thin host links)
-        wire = vol_p.astype(jnp.dtype(self.compute_dtype))
-        common = dict(
-            arch=self.arch,
-            preset=self.preset,
-            compute_dtype=self.compute_dtype,
-            num_classes=self.num_classes,
-            cols=self.cfg.input_cols,
-        )
+        kernel, arrays, kw, p = self._args(vol, mini_z, maxi_z, output)
+        z_lo, z = p["z_lo"], p["z"]
+        out = kernel(*arrays, **kw)
         if self.shared_2d:
-            score = _score_volume_shared2d(
-                self.params,
-                self.bn_state,
-                jnp.asarray(wire),
-                jnp.int32(z),
-                jnp.asarray(starts),
-                jnp.asarray(weights),
-                chunk2d=4 if zp % 4 == 0 else self.cfg.input_cols,
-                **common,
-            )
             if output == "packed":
-                score = _pack_labels(
-                    score,
+                out = _pack_labels(
+                    out,
                     jnp.float32(self.cfg.thres_liver),
                     jnp.float32(self.cfg.thres_tumor),
                     num_classes=self.num_classes,
                 )
-                return self._restore_z(score[:x0, :y0, :z], z_lo, z_full)
-            if output == "digest":
-                return _summarize(score)
-            return self._restore_z(score[:x0, :y0, :z], z_lo, z_full)
-        kernel = _score_volume_dedup2d if dedup else _score_volume
-        extra = {"stride": self.cfg.window_stride} if dedup else {}
-        out = kernel(
-            self.params,
-            self.bn_state,
-            jnp.asarray(wire),
-            jnp.asarray(starts),
-            jnp.asarray(weights),
-            jnp.asarray(
-                [self.cfg.thres_liver, self.cfg.thres_tumor], jnp.float32
-            ),
-            output=output,
-            mesh=self.mesh,
-            **extra,
-            **common,
-        )
+            elif output == "digest":
+                return _summarize(out)
+            return self._restore_z(out[:x0, :y0, :z], z_lo, z_full)
         if output == "digest":
             return out
         return self._restore_z(out[:x0, :y0, :z], z_lo, z_full)
+
+    def compute_seconds(
+        self,
+        vol: np.ndarray,
+        mini_z: int,
+        maxi_z: int,
+        *,
+        k_small: int = 1,
+        k_big: int = 3,
+        reps: int = 2,
+        detail: bool = False,
+    ):
+        """Relay-immune per-volume device compute seconds.
+
+        Runs the EXACT serving program k times inside ONE dispatch with a
+        loop-carried dependence (rep i+1's input volume depends on rep i's
+        digest, so XLA can neither hoist nor elide the repeated work — the
+        perturbation magnitude ~1e-36 rounds away against HU-scale voxels, so
+        numerics are unchanged) and returns the slope
+        (t(k_big) - t(k_small)) / (k_big - k_small), each endpoint min over
+        ``reps`` dispatches. Per-dispatch relay latency and the volume h2d
+        appear in BOTH endpoints and cancel in the slope — the protocol
+        benchmarks/profile_inference.py proved out per-op, applied to the
+        full serving program.
+        """
+        import time
+
+        kernel, arrays, kw, _ = self._args(vol, mini_z, maxi_z, output="digest")
+        vol_idx = 2  # the wire volume's position in `arrays`
+
+        cache_key = (kernel, tuple(sorted(kw.items(), key=lambda it: it[0])))
+        krep = self._krep_cache.get(cache_key)
+        if krep is None:
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def krep(*xs, k: int):
+                def body(i, acc):
+                    jittered = list(xs)
+                    w = jittered[vol_idx]
+                    jittered[vol_idx] = w + (acc * 1e-30).astype(w.dtype)
+                    out = kernel(*jittered, **kw)
+                    d = out if out.ndim == 1 else _summarize(out)
+                    return acc + d[2].astype(jnp.float32) * 1e-6
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            self._krep_cache[cache_key] = krep
+
+        def timed(k):
+            t0 = time.perf_counter()
+            val = float(krep(*arrays, k=k))  # scalar fetch = sync
+            assert np.isfinite(val)
+            return time.perf_counter() - t0
+
+        timed(k_small), timed(k_big)  # compile both programs
+        t_small = sorted(timed(k_small) for _ in range(reps))
+        t_big = sorted(timed(k_big) for _ in range(reps))
+        slopes = [
+            max((tb - ts) / (k_big - k_small), 1e-9)
+            for ts, tb in zip(t_small, t_big)
+        ]
+        if detail:
+            return {
+                "seconds": slopes[0],
+                "slopes": slopes,
+                "t_small": t_small,
+                "t_big": t_big,
+            }
+        return slopes[0]
 
     @staticmethod
     def _restore_z(arr, z_lo: int, z_full: int):
@@ -515,6 +634,7 @@ class TiledVolumeScorer:
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "chunk2d",
+        "pad_to",
     ),
 )
 def _score_volume_shared2d(
@@ -531,6 +651,7 @@ def _score_volume_shared2d(
     num_classes: int,
     cols: int,
     chunk2d: int = 8,
+    pad_to=None,
 ):
     """Sliding-window scoring with the 2D branch computed ONCE per z-slice.
 
@@ -550,6 +671,7 @@ def _score_volume_shared2d(
     from ..models import denseunet2d, denseunet3d
     from ..models.hybrid import LOGIT_AMPLIFICATION, hff_head
 
+    vol = _pad_vol(vol, pad_to)
     x, y, zp = vol.shape
     n_batches, wb = starts.shape
     dtype = jnp.dtype(compute_dtype)
@@ -685,7 +807,7 @@ def make_grid_structured(starts_list: list[int], wb: int, stride: int):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "stride",
-        "output", "mesh",
+        "output", "mesh", "pad_to", "unroll",
     ),
 )
 def _score_volume_dedup2d(
@@ -704,6 +826,8 @@ def _score_volume_dedup2d(
     stride: int,
     output: str = "probs",
     mesh=None,
+    pad_to=None,
+    unroll: int = 1,
 ):
     """Exact scoring with in-batch 2D dedup over stride-aligned window runs.
 
@@ -721,6 +845,7 @@ def _score_volume_dedup2d(
     from ..models import denseunet2d, denseunet3d
     from ..models.hybrid import LOGIT_AMPLIFICATION, hff_head
 
+    vol = _pad_vol(vol, pad_to)
     x, y, zp = vol.shape
     n_batches, wb = starts.shape
     dtype = jnp.dtype(compute_dtype)
@@ -743,10 +868,8 @@ def _score_volume_dedup2d(
     score0 = jnp.zeros((x, y, zp, num_classes), jnp.float32)
     count0 = jnp.zeros((zp,), jnp.float32)
 
-    def body(i, carry):
+    def body(carry, s_i, w_i):
         score, count = carry
-        s_i = starts[i]
-        w_i = weights[i]
         s0 = s_i[0]
 
         # interior stacks: centers s0+1 .. s0+NI (volume neighbors).
@@ -804,7 +927,9 @@ def _score_volume_dedup2d(
 
         return lax.fori_loop(0, wb, acc, (score, count))
 
-    score, count = lax.fori_loop(0, n_batches, body, (score0, count0))
+    score, count = _batch_loop(
+        n_batches, body, (score0, count0), starts, weights, unroll
+    )
     score = score / (count[None, None, :, None] + 1e-4)
     if output == "packed":
         return _pack_labels(score, thresholds[0], thresholds[1], num_classes=num_classes)

@@ -440,3 +440,57 @@ def test_make_grid_structured_invariants():
         assert all(got.get(s, 0) == want[s] for s in want)
         assert all(v == 0 or k in want for k, v in got.items())
         assert st.min() >= 0
+
+
+def test_batch_unroll_identical_labelmask(tiny_hybrid):
+    """batch_unroll > 1 (lax.scan-unrolled window-batch loop) must be
+    byte-identical to the serial fori_loop path — it only reorders
+    independent work for the scheduler."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    rng = np.random.default_rng(7)
+    vol = rng.normal(0, 50, (32, 32, 30)).astype(np.float32)
+
+    def run(unroll):
+        cfg = InferConfig(
+            input_size=32, input_cols=8, window_batch=2, batch_unroll=unroll
+        )
+        s = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny")
+        return s.labelmask(vol, 3, 27)
+
+    np.testing.assert_array_equal(run(1), run(2))
+    np.testing.assert_array_equal(run(1), run(4))
+
+
+def test_compute_seconds_smoke(tiny_hybrid):
+    """compute_seconds runs the k-rep program and returns a positive float
+    (the relay-immune bench protocol; numerics must stay finite)."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=2)
+    s = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny")
+    rng = np.random.default_rng(3)
+    vol = rng.normal(0, 50, (32, 32, 24)).astype(np.float32)
+    dt = s.compute_seconds(vol, 2, 20, k_small=1, k_big=2, reps=1)
+    assert dt > 0 and np.isfinite(dt)
+
+
+def test_wire_zcrop_matches_full_pad(tiny_hybrid):
+    """Shipping only the real z-crop (device-side pad to the bucket) must not
+    change any probability: score with a z-extent far from the bucket edge
+    equals the host-path reference."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=2)
+    rng = np.random.default_rng(9)
+    # z=70 with a narrow liver range: z-crop ~26 slices, bucket pads to 64
+    vol = rng.normal(0, 50, (32, 32, 70)).astype(np.float32)
+    dev = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny")
+    host = WindowPredictor(params, bn_state, cfg, preset="tiny")
+    l_d, t_d = dev.predict_volume(vol, 30, 50)
+    l_h, t_h = host.predict_volume(vol, 30, 50)
+    np.testing.assert_allclose(l_d, l_h, atol=1e-5)
+    np.testing.assert_allclose(t_d, t_h, atol=1e-5)
