@@ -65,35 +65,41 @@ def _up_merge(ctx, x_up, x_skip, name, ch):
     return p + up
 
 
-def apply(ctx: Ctx, x, *, num_classes: int = 2):
-    """Forward pass. x: (B, H, W, D, C), H and W divisible by 16."""
+def apply(ctx: Ctx, x, *, num_classes: int = 2, widths=(64, 128, 256, 512)):
+    """Forward pass. x: (B, H, W, D, C), H and W divisible by 16.
+
+    ``widths``: channel counts of the four scales (reference hard-codes
+    64/128/256/512, hybridnet.py:428-470); smaller values serve tests and the
+    NumPy-oracle parity check (tests/keras_oracle.py::dilated_resnet).
+    """
     assert x.ndim == 5 and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0, x.shape
-    c1 = _conv(ctx, x, "dr_stem", 64, 3)
+    w0, w1, w2, w3 = widths
+    c1 = _conv(ctx, x, "dr_stem", w0, 3)
     c1 = L.batch_norm(ctx, c1, "dr_stem_bn")
     ac0 = L.relu(c1)
     p1 = L.max_pool(ac0, (2, 2, 1), (2, 2, 1))
 
-    res1 = _res_block(ctx, p1, "dr_res1", 128)
+    res1 = _res_block(ctx, p1, "dr_res1", w1)
     p2 = L.max_pool(res1, (2, 2, 1), (2, 2, 1))
-    res2 = _res_block(ctx, p2, "dr_res2", 256)
+    res2 = _res_block(ctx, p2, "dr_res2", w2)
     p3 = L.max_pool(res2, (2, 2, 1), (2, 2, 1))
-    res3 = _res_block(ctx, p3, "dr_res3", 512)
-    delres = _dilated_block(ctx, res3, "dr_dil1")
+    res3 = _res_block(ctx, p3, "dr_res3", w3)
+    delres = _dilated_block(ctx, res3, "dr_dil1", w3)
 
     p4 = L.max_pool(delres, (2, 2, 1), (2, 2, 1))
-    res3_4 = _res_block(ctx, p4, "dr_res4", 512)
-    delres2 = _dilated_block(ctx, res3_4, "dr_dil2")
+    res3_4 = _res_block(ctx, p4, "dr_res4", w3)
+    delres2 = _dilated_block(ctx, res3_4, "dr_dil2", w3)
 
-    sum4 = _up_merge(ctx, delres2, delres, "dr_up0", 512)
-    res4_1 = _res_block(ctx, sum4, "dr_res5", 512)
-    delres3 = _dilated_block(ctx, res4_1, "dr_dil3")
+    sum4 = _up_merge(ctx, delres2, delres, "dr_up0", w3)
+    res4_1 = _res_block(ctx, sum4, "dr_res5", w3)
+    delres3 = _dilated_block(ctx, res4_1, "dr_dil3", w3)
 
-    sum4_1 = _up_merge(ctx, delres3, res2, "dr_up1", 512)
-    res4 = _res_block(ctx, sum4_1, "dr_res6", 256)
-    sum6 = _up_merge(ctx, res4, res1, "dr_up2", 256)
-    res5 = _res_block(ctx, sum6, "dr_res7", 128)
-    sum8 = _up_merge(ctx, res5, ac0, "dr_up3", 128)
-    res6 = _res_block(ctx, sum8, "dr_res8", 64)
+    sum4_1 = _up_merge(ctx, delres3, res2, "dr_up1", w3)
+    res4 = _res_block(ctx, sum4_1, "dr_res6", w2)
+    sum6 = _up_merge(ctx, res4, res1, "dr_up2", w2)
+    res5 = _res_block(ctx, sum6, "dr_res7", w1)
+    sum8 = _up_merge(ctx, res5, ac0, "dr_up3", w1)
+    res6 = _res_block(ctx, sum8, "dr_res8", w0)
 
     return _conv(ctx, res6, "dr_head", num_classes, 1)
 

@@ -49,14 +49,29 @@ def _same_pads(size, k, s):
     return (total // 2, total - total // 2)
 
 
-def conv(x, w, b=None, *, stride=1, padding=0):
+def _dilate_kernel(w, dilation, nd):
+    """Insert dilation-1 zeros between kernel taps (exact atrous conv)."""
+    if all(d == 1 for d in dilation):
+        return w
+    k = w.shape[:nd]
+    keff = tuple(k[i] + (k[i] - 1) * (dilation[i] - 1) for i in range(nd))
+    out = np.zeros(keff + w.shape[nd:], w.dtype)
+    out[tuple(slice(None, None, dilation[i]) for i in range(nd))] = w
+    return out
+
+
+def conv(x, w, b=None, *, stride=1, padding=0, dilation=1):
     """N-d channels-last convolution (N inferred from x).
 
     padding: int/tuple = symmetric explicit zero-pad (ZeroPaddingND + VALID
     conv, densenet.py:44/:131); 'same' = TF SAME rule (decoder convs,
     densenet.py:71 et al.); 'valid' = no pad (1x1 bottlenecks).
+    dilation: atrous rate (dilated_resnet convs, hybridnet.py:473 et al.) —
+    realized by zero-dilating the kernel, so the 'same' pad rule sees the
+    effective kernel size exactly as Keras/TF does.
     """
     nd = x.ndim - 2
+    w = _dilate_kernel(w, _tup(dilation, nd), nd)
     k = w.shape[:nd]
     stride = _tup(stride, nd)
     if padding == "same":
@@ -137,11 +152,11 @@ class P:
     def __init__(self, params, state):
         self.params, self.state = params, state
 
-    def conv(self, x, name, *, stride=1, padding=0):
+    def conv(self, x, name, *, stride=1, padding=0, dilation=1):
         leaves = self.params[name]
         w = np.asarray(leaves["kernel"], F32)
         b = np.asarray(leaves["bias"], F32) if "bias" in leaves else None
-        return conv(x, w, b, stride=stride, padding=padding)
+        return conv(x, w, b, stride=stride, padding=padding, dilation=dilation)
 
     def bn(self, x, name, eps):
         g = np.asarray(self.params[name]["gamma"], F32)
@@ -189,16 +204,22 @@ def dense_unet_2d(
     reduction=0.5,
     decoder_widths=(768, 384, 96, 96, 64),
     num_classes=3,
+    skip_connections=False,
 ):
     """Full inference forward; returns {tap_name: activation}.
 
     Tap names match the reference graph layers recorded by
     hdenseunet_tpu/weights/parity.py (relu1, concat_{s}_{last}, relu5_blk,
     ac_up4, dense167classifer).
+
+    ``skip_connections=True`` transcribes the LEGACY decoder
+    (denseunet.py:188-218): 1x1 Conv 'line0' on box[3] added to up0, and
+    box[2]/box[1]/box[0] added to up1/up2/up3 (up4 has no skip).
     """
     p = P(params, state)
     taps = {}
     compression = 1.0 - reduction
+    box = []  # [relu1, concat_2, concat_3, concat_4] (denseunet.py:168-177)
 
     x = np.asarray(x, F32)
     x = p.conv(x, "conv1", stride=2, padding=3)  # densenet.py:44-45
@@ -206,6 +227,7 @@ def dense_unet_2d(
     x = p.scale(x, "conv1_scale")
     x = relu(x)
     taps["relu1"] = x
+    box.append(x)
     x = max_pool(x, 3, 2, pad=1)  # densenet.py:50-51
 
     stage = 1
@@ -215,6 +237,7 @@ def dense_unet_2d(
             out = _conv_block_2d(p, x, stage, i + 1, growth)
             x = np.concatenate([x, out], axis=-1)
         taps[f"concat_{stage}_{nb_layers}"] = x
+        box.append(x)
         # transition_block, densenet.py:140-166
         base = f"conv{stage}_blk"
         t = p.bn(x, base + "_bn", EPS)
@@ -232,9 +255,16 @@ def dense_unet_2d(
     x = relu(x)
     taps[f"relu{final}_blk"] = x
 
-    # decoder (densenet.py:70-94); dropout before bn_up4 is inference-off
+    # decoder (densenet.py:70-94); dropout before bn_up4 is inference-off.
+    # Legacy skip adds: denseunet.py:189-191 (line0 + up0), :197/:203/:209.
+    skips = [None] * 5
+    if skip_connections:
+        skips[0] = p.conv(box[3], "line0", padding="same")
+        skips[1], skips[2], skips[3] = box[2], box[1], box[0]
     for idx in range(5):
         x = upsample(x, 2)
+        if skips[idx] is not None:
+            x = skips[idx] + x
         x = p.conv(x, f"conv_up{idx}", padding="same")
         x = p.bn(x, f"bn_up{idx}", BN_DEFAULT_EPS)
         x = relu(x)
@@ -375,3 +405,74 @@ def hybrid(
     f = relu(f)
     taps["2d3dclassifer"] = p.conv(f, "2d3dclassifer", padding="same")
     return taps
+
+
+# ---------------------------------------------------------------------------
+# dilated residual encoder-decoder (transcribed from hybridnet.py:426-585)
+# ---------------------------------------------------------------------------
+
+
+def dilated_resnet(params, state, x, *, num_classes=2):
+    """`dilated_resnet` forward (hybridnet.py:426-585): 3x3x3 stem, three
+    (2,2,1)-pooled residual stages, dilation-2 residual blocks at the two
+    deepest scales, and a decoder of (2,2,1) upsamples merged with BN'd 1x1
+    projections of the skips. The reference leaves every layer auto-named; the
+    deterministic `dr_*` names match hdenseunet_tpu/models/dilated_resnet.py.
+    All adds follow the reference ordering: add([BN_shortcut, main]) -> relu
+    for residual blocks, add([identity, BN_main]) -> relu for dilated blocks,
+    add([BN_proj, upsample]) with NO relu for decoder merges.
+    """
+    p = P(params, state)
+
+    def conv3(x, name, dilation=1):
+        return p.conv(x, name, padding="same", dilation=dilation)
+
+    def res_block(x, name):
+        y = conv3(x, f"{name}_c1")
+        y = relu(p.bn(y, f"{name}_bn1", BN_DEFAULT_EPS))
+        y = conv3(y, f"{name}_c2")
+        y = p.bn(y, f"{name}_bn2", BN_DEFAULT_EPS)
+        s = p.conv(x, f"{name}_proj", padding="same")
+        s = p.bn(s, f"{name}_bnp", BN_DEFAULT_EPS)
+        return relu(s + y)
+
+    def dilated_block(x, name):
+        y = conv3(x, f"{name}_c1", dilation=2)
+        y = relu(p.bn(y, f"{name}_bn1", BN_DEFAULT_EPS))
+        y = conv3(y, f"{name}_c2", dilation=2)
+        y = p.bn(y, f"{name}_bn2", BN_DEFAULT_EPS)
+        return relu(x + y)
+
+    def up_merge(x_up, x_skip, name):
+        up = upsample(x_up, (2, 2, 1))
+        pr = p.conv(x_skip, f"{name}_proj", padding="same")
+        pr = p.bn(pr, f"{name}_bn", BN_DEFAULT_EPS)
+        return pr + up
+
+    x = np.asarray(x, F32)
+    c1 = conv3(x, "dr_stem")
+    ac0 = relu(p.bn(c1, "dr_stem_bn", BN_DEFAULT_EPS))
+    p1 = max_pool(ac0, (2, 2, 1), (2, 2, 1))
+
+    res1 = res_block(p1, "dr_res1")
+    p2 = max_pool(res1, (2, 2, 1), (2, 2, 1))
+    res2 = res_block(p2, "dr_res2")
+    p3 = max_pool(res2, (2, 2, 1), (2, 2, 1))
+    res3 = res_block(p3, "dr_res3")
+    delres = dilated_block(res3, "dr_dil1")
+
+    p4 = max_pool(delres, (2, 2, 1), (2, 2, 1))
+    res3_4 = res_block(p4, "dr_res4")
+    delres2 = dilated_block(res3_4, "dr_dil2")
+
+    sum4 = up_merge(delres2, delres, "dr_up0")
+    res4_1 = res_block(sum4, "dr_res5")
+    delres3 = dilated_block(res4_1, "dr_dil3")
+
+    sum4_1 = up_merge(delres3, res2, "dr_up1")
+    res4 = res_block(sum4_1, "dr_res6")
+    sum6 = up_merge(res4, res1, "dr_up2")
+    res5 = res_block(sum6, "dr_res7")
+    sum8 = up_merge(res5, ac0, "dr_up3")
+    res6 = res_block(sum8, "dr_res8")
+    return p.conv(res6, "dr_head", padding="same")
