@@ -123,6 +123,12 @@ class InferConfig:
     # 3D/accumulate tail. Semantics identical; see BENCH_NOTES.md for the
     # measured effect.
     batch_unroll: int = 1
+    # XLA activation layout of the 3D branch: 'hwdc' (canonical, spatial =
+    # (H,W,D)) | 'dhwc' (d-major, spatial = (D,H,W), models/dmajor.py — keeps
+    # (W,C) in the memory tile's minor dims so small mid-network D doesn't
+    # pad the sublane dim). Bit-identical outputs; BENCH_NOTES.md round-3
+    # records the per-op and model-level measurements.
+    layout3d: str = "hwdc"
 
 
 @dataclasses.dataclass

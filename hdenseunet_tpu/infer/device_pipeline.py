@@ -92,7 +92,7 @@ def _batch_loop(n_batches, body, init, starts, weights, unroll):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "output",
-        "mesh", "pad_to", "unroll",
+        "mesh", "pad_to", "unroll", "layout3d",
     ),
 )
 def _score_volume(
@@ -112,6 +112,7 @@ def _score_volume(
     mesh=None,
     pad_to=None,
     unroll: int = 1,
+    layout3d: str = "hwdc",
 ):
     """vol: (X, Y, Zwire) mean-subtracted (zero-padded on device to
     ``pad_to``); starts/weights: (n_batches, wb).
@@ -144,7 +145,10 @@ def _score_volume(
                 jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
             )
         ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
-        logits = hybrid.apply(ctx, wins, arch=arch, preset=preset, num_classes=num_classes)
+        logits = hybrid.apply(
+            ctx, wins, arch=arch, preset=preset, num_classes=num_classes,
+            layout3d=layout3d,
+        )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
 
         def acc(j, carry2):
@@ -335,6 +339,7 @@ class DeviceVolumeScorer:
             num_classes=self.num_classes,
             cols=self.cfg.input_cols,
             pad_to=(p["xp"], p["yp"], zp),
+            layout3d=getattr(self.cfg, "layout3d", "hwdc"),
         )
         if self.shared_2d:
             arrays = (
@@ -502,7 +507,7 @@ def tile_origins(dim: int, win: int, step: int) -> list[int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch", "preset", "compute_dtype", "num_classes", "win"),
+    static_argnames=("arch", "preset", "compute_dtype", "num_classes", "win", "layout3d"),
 )
 def _score_tiles(
     params,
@@ -516,6 +521,7 @@ def _score_tiles(
     compute_dtype: str,
     num_classes: int,
     win: tuple,
+    layout3d: str = "hwdc",
 ):
     """3D-tiled scoring: full-window softmax accumulate (no edge-slice drop,
     matching the reference variant). origins: (n_batches, wb, 3) int32."""
@@ -536,7 +542,10 @@ def _score_tiles(
             lambda o: lax.dynamic_slice(vol, (o[0], o[1], o[2]), (wx, wy, wz))
         )(org)[..., None]
         ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
-        logits = hybrid.apply(ctx, wins, arch=arch, preset=preset, num_classes=num_classes)
+        logits = hybrid.apply(
+            ctx, wins, arch=arch, preset=preset, num_classes=num_classes,
+            layout3d=layout3d,
+        )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         def acc(j, carry2):
@@ -617,6 +626,7 @@ class TiledVolumeScorer:
             compute_dtype=self.compute_dtype,
             num_classes=self.num_classes,
             win=(wx, wy, wz),
+            layout3d=getattr(self.cfg, "layout3d", "hwdc"),
         )
         return score[:x0, :y0, :z0]
 
@@ -634,7 +644,7 @@ class TiledVolumeScorer:
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "chunk2d",
-        "pad_to",
+        "pad_to", "layout3d",
     ),
 )
 def _score_volume_shared2d(
@@ -652,6 +662,7 @@ def _score_volume_shared2d(
     cols: int,
     chunk2d: int = 8,
     pad_to=None,
+    layout3d: str = "hwdc",
 ):
     """Sliding-window scoring with the 2D branch computed ONCE per z-slice.
 
@@ -679,7 +690,7 @@ def _score_volume_shared2d(
     inner = cols - 2
 
     kw2d = dict(denseunet2d.PRESETS[preset])
-    kw3d = dict(denseunet3d.PRESETS[preset])
+    kw3d = dict(denseunet3d.PRESETS[preset], layout=layout3d)
     feat_width = kw2d.get("decoder_widths", (768, 384, 96, 96, 64))[-1]
     assert zp % chunk2d == 0, (zp, chunk2d)
 
@@ -807,7 +818,7 @@ def make_grid_structured(starts_list: list[int], wb: int, stride: int):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "stride",
-        "output", "mesh", "pad_to", "unroll",
+        "output", "mesh", "pad_to", "unroll", "layout3d",
     ),
 )
 def _score_volume_dedup2d(
@@ -828,6 +839,7 @@ def _score_volume_dedup2d(
     mesh=None,
     pad_to=None,
     unroll: int = 1,
+    layout3d: str = "hwdc",
 ):
     """Exact scoring with in-batch 2D dedup over stride-aligned window runs.
 
@@ -853,7 +865,7 @@ def _score_volume_dedup2d(
     inner = cols - 2
 
     kw2d = dict(denseunet2d.PRESETS[preset])
-    kw3d = dict(denseunet3d.PRESETS[preset])
+    kw3d = dict(denseunet3d.PRESETS[preset], layout=layout3d)
 
     NI = (wb - 1) * stride + cols - 2  # unique interior stack centers per run
     # static assembly map: window j, position p -> index into the 2D batch

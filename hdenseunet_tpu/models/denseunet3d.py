@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.module import Ctx, init as module_init, maybe_remat
+from . import dmajor
 from . import layers as L
 from . import zfold
 
@@ -53,6 +54,34 @@ class _DirectOps:
 
     def unfold(self, x):
         return x
+
+
+class _DMajorOps:
+    """Op set running (B, D, H, W, C) d-major tensors (models/dmajor.py).
+
+    Keeps (W, C) in the memory tile's minor dims so the small-D mid-network
+    stages don't pad the sublane dim. Per-op (BENCH_NOTES round-3 campaign):
+    up to 1.7x faster on the big decoder 3x3x3 convs (up0/up1/up2), parity on
+    the encoder and stem. Selected graph-wide via apply(layout='dhwc').
+    Exact: same MACs, canonical parameter layout, only XLA layout differs.
+    """
+
+    folded = False
+
+    def conv(self, ctx, x, name, features, kernel, **kw):
+        return dmajor.conv3d(ctx, x, name, features, kernel, **kw)
+
+    def max_pool(self, x, window, stride, pad=0):
+        return dmajor.max_pool(x, window, stride, pad=pad)
+
+    def avg_pool(self, x, window, stride):
+        return dmajor.avg_pool(x, window, stride)
+
+    def upsample(self, x, factors):
+        return dmajor.upsample_nearest(x, factors)
+
+    def unfold(self, x):
+        return dmajor.unfold(x)
 
 
 class _FoldedOps:
@@ -162,12 +191,18 @@ def apply(
     decoder_widths: tuple = (504, 224, 192, 96, 64),
     taps: dict | None = None,
     fold_z: bool = False,
+    layout: str = "hwdc",
 ):
     """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
 
     Returns (ac_up4 features (B,H,W,D,64), logits (B,H,W,D,num_classes)).
     ``taps``, when given a dict, collects block-boundary activations under the
     reference graph's names (parity audits, weights/parity.py).
+
+    ``layout``: XLA activation layout for the branch — 'hwdc' (canonical,
+    spatial=(H,W,D)) or 'dhwc' (d-major, spatial=(D,H,W), models/dmajor.py;
+    transposed in/out here, parameters and outputs identical). See the
+    BENCH_NOTES.md round-3 per-op table for when each wins.
 
     ``fold_z``: execute the whole branch z-folded — every op a native 2D op
     on (B*D, H, W, C) tensors (models/zfold.py), exact to float-summation
@@ -178,11 +213,16 @@ def apply(
     serializes; BENCH_NOTES.md round-2 negative results)."""
     assert x.ndim == 5 and x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, x.shape
     assert x.shape[3] % 4 == 0, f"depth {x.shape[3]} must be divisible by 4"
+    assert layout in ("hwdc", "dhwc"), layout
+    assert not (fold_z and layout != "hwdc"), "fold_z and dhwc are exclusive"
     compression = 1.0 - reduction
 
     if fold_z:
         x, b0, d0 = zfold.fold(x)
         ops = _FoldedOps(b0, d0)
+    elif layout == "dhwc":
+        x = dmajor.fold(x)
+        ops = _DMajorOps()
     else:
         ops = _DirectOps()
 

@@ -73,11 +73,13 @@ def apply(
     num_classes: int = 3,
     preset: str = "full",
     taps: dict | None = None,
+    layout3d: str = "hwdc",
 ):
     """Forward pass. vol: (B, H, W, D, 1); H, W divisible by 32; D by 4.
 
     Returns logits (B, H, W, D, num_classes). ``taps``, when given a dict,
-    collects fusion-boundary activations for parity audits.
+    collects fusion-boundary activations for parity audits. ``layout3d``
+    selects the 3D branch's XLA activation layout (denseunet3d.apply).
     """
     assert arch in ("end2end", "3dpart"), arch
     b, h, w, d = vol.shape[:4]
@@ -97,7 +99,7 @@ def apply(
 
     input3d = jnp.concatenate([vol, res2d * LOGIT_AMPLIFICATION], axis=-1)
     feat3d, _ = denseunet3d.apply(
-        ctx, input3d, reduction=0.5, **denseunet3d.PRESETS[preset]
+        ctx, input3d, reduction=0.5, layout=layout3d, **denseunet3d.PRESETS[preset]
     )
 
     logits = hff_head(ctx, feat3d, fea2d, arch=arch, num_classes=num_classes)

@@ -332,6 +332,49 @@ def test_denseunet3d_fold_z_matches_direct():
             )
 
 
+def test_denseunet3d_dmajor_matches_direct():
+    """layout='dhwc' (d-major, models/dmajor.py) == canonical 'hwdc': same
+    parameter tree byte-for-byte at init (the kernel is stored canonically
+    and transposed at trace time) and matching outputs / train-mode BN state
+    to f32 conv-reassociation tolerance."""
+    kw = denseunet3d.PRESETS["tiny"]
+    p_a, s_a = denseunet3d.init(
+        jax.random.key(0), input_size=32, input_cols=8, channels=4, **kw
+    )
+    p_b, s_b = denseunet3d.init(
+        jax.random.key(0), input_size=32, input_cols=8, channels=4,
+        layout="dhwc", **kw
+    )
+    assert jax.tree_util.tree_structure(p_a) == jax.tree_util.tree_structure(p_b)
+    for la, lb in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(0, 1, (2, 32, 32, 8, 4)).astype(np.float32)
+    )
+    ctx_a = Ctx(p_a, s_a, train=False, compute_dtype=jnp.float32)
+    f_a, l_a = denseunet3d.apply(ctx_a, x, layout="hwdc", **kw)
+    ctx_b = Ctx(p_a, s_a, train=False, compute_dtype=jnp.float32)
+    f_b, l_b = denseunet3d.apply(ctx_b, x, layout="dhwc", **kw)
+    assert f_b.shape == f_a.shape and l_b.shape == l_a.shape
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b), atol=1e-5)
+
+    # train mode: BN statistics reduce the same element sets in either layout
+    ctx_a = Ctx(p_a, s_a, train=True, compute_dtype=jnp.float32, rng=jax.random.key(5))
+    _ = denseunet3d.apply(ctx_a, x, layout="hwdc", **kw)
+    ctx_b = Ctx(p_a, s_a, train=True, compute_dtype=jnp.float32, rng=jax.random.key(5))
+    _ = denseunet3d.apply(ctx_b, x, layout="dhwc", **kw)
+    sa, sb = ctx_a.new_state, ctx_b.new_state
+    assert set(sa) == set(sb)
+    for layer in sa:
+        for leaf in sa[layer]:
+            np.testing.assert_allclose(
+                np.asarray(sa[layer][leaf]), np.asarray(sb[layer][leaf]),
+                atol=1e-5, err_msg=f"{layer}/{leaf}",
+            )
+
+
 def test_hff_head_fold_z_matches_direct():
     params, bn = hybrid.init(
         jax.random.key(0), input_size=32, input_cols=8, batch=1,
