@@ -50,15 +50,33 @@ class VolumePredictor:
 
     def segment(self, vol: np.ndarray, ext_liver_mask: np.ndarray) -> np.ndarray:
         """(CT volume, external liver mask) -> uint8 labelmap {0 bg,1 liver,2 tumor}."""
+        return self.collect(self.dispatch(vol, ext_liver_mask))
+
+    def dispatch(self, vol: np.ndarray, ext_liver_mask: np.ndarray):
+        """Upload + enqueue one volume's scoring program WITHOUT fetching.
+
+        JAX dispatch is asynchronous: this returns as soon as the program is
+        enqueued, so the caller can overlap the next volume's h2d + dispatch
+        with this one's device execution and d2h (predict_directory's
+        pipelined loop). Pair with :meth:`collect`.
+        """
         icfg = self.cfg.infer
         img = np.asarray(vol, np.float32) - icfg.mean  # test.py:55
         mask, z_lo, z_hi = postprocess.liver_mask_extent(ext_liver_mask)
         if icfg.device_resident:
-            packed = self.windows.labelmask(img, z_lo, z_hi)
-            return postprocess.compose_from_masks(
-                packed >= 1, packed >= 3, mask
-            )
+            packed_dev = self.windows.score(img, z_lo, z_hi, output="packed")
+            return ("packed", packed_dev, mask)
         liver_prob, tumor_prob = self.windows.predict_volume(img, z_lo, z_hi)
+        return ("probs", (liver_prob, tumor_prob), mask)
+
+    def collect(self, handle) -> np.ndarray:
+        """Fetch a dispatched volume's result and postprocess to a labelmap."""
+        kind, payload, mask = handle
+        icfg = self.cfg.infer
+        if kind == "packed":
+            packed = np.asarray(payload)
+            return postprocess.compose_from_masks(packed >= 1, packed >= 3, mask)
+        liver_prob, tumor_prob = payload
         return postprocess.compose_labelmap(
             liver_prob,
             tumor_prob,
@@ -132,9 +150,12 @@ def predict_directory(
     n = num_volumes if num_volumes is not None else cfg.data.num_test_volumes
     times = []
 
-    # overlap the next volume's NIfTI read/decompress with this volume's
-    # device compute (the reference reloaded model + weights per volume,
-    # test.py:48-51; here IO is the only per-volume host cost left)
+    # two overlaps (the reference reloaded model + weights per volume,
+    # test.py:48-51):
+    # * the next volume's NIfTI read/decompress rides a loader thread;
+    # * with the device-resident scorer, volume i+1's h2d + dispatch are
+    #   enqueued BEFORE volume i's result is fetched (async JAX dispatch),
+    #   so the host link and the chip work concurrently across volumes.
     from concurrent.futures import ThreadPoolExecutor
 
     def load(i):
@@ -142,17 +163,40 @@ def predict_directory(
         mask, _ = nifti.read(_find(mask_dir, i, suffix="-ori"))
         return vol, hdr, np.asarray(mask)
 
+    pipelined = not tiled and cfg.infer.device_resident
+    inflight = None  # (handle, hdr, shape, index)
+    last_done = time.perf_counter()
+
+    def finish(entry):
+        nonlocal last_done
+        handle, hdr, shape, idx = entry
+        labelmap = predictor.collect(handle)
+        now = time.perf_counter()
+        dt = now - last_done
+        last_done = now
+        times.append(dt)
+        nifti.write(out_dir / f"test-segmentation-{idx}.nii", labelmap, hdr)
+        log(f"volume {idx}: {shape} segmented in {dt:.2f}s")
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = pool.submit(load, 0) if n else None
         for i in range(n):
             vol, hdr, mask = pending.result()
             pending = pool.submit(load, i + 1) if i + 1 < n else None
-            t0 = time.perf_counter()
-            labelmap = predictor.segment(vol, mask)
-            dt = time.perf_counter() - t0
-            times.append(dt)
-            nifti.write(out_dir / f"test-segmentation-{i}.nii", labelmap, hdr)
-            log(f"volume {i}: {vol.shape} segmented in {dt:.2f}s")
+            if pipelined:
+                handle = predictor.dispatch(vol, mask)
+                if inflight is not None:
+                    finish(inflight)
+                inflight = (handle, hdr, vol.shape, i)
+            else:
+                t0 = time.perf_counter()
+                labelmap = predictor.segment(vol, mask)
+                dt = time.perf_counter() - t0
+                times.append(dt)
+                nifti.write(out_dir / f"test-segmentation-{i}.nii", labelmap, hdr)
+                log(f"volume {i}: {vol.shape} segmented in {dt:.2f}s")
+        if inflight is not None:
+            finish(inflight)
     if times:
         log(f"mean {np.mean(times):.2f}s/volume over {len(times)} volumes")
     return times

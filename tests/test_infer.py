@@ -463,6 +463,71 @@ def test_batch_unroll_identical_labelmask(tiny_hybrid):
     np.testing.assert_array_equal(run(1), run(4))
 
 
+def test_predict_directory_pipelined_matches_segment(tiny_hybrid, tmp_path):
+    """The pipelined serving loop (volume i+1's h2d + dispatch enqueued before
+    volume i's fetch, predictor.dispatch/collect) must write labelmaps
+    identical to the synchronous segment() path for every volume."""
+    from hdenseunet_tpu.core.config import Config
+    from hdenseunet_tpu.data import nifti
+    from hdenseunet_tpu.infer.predictor import VolumePredictor, predict_directory
+
+    params, bn_state = tiny_hybrid
+    cfg = Config()
+    cfg.model.preset = "tiny"
+    cfg.model.input_size = 32
+    cfg.infer.input_size = 32
+    cfg.infer.input_cols = 8
+    cfg.infer.window_batch = 2
+    assert cfg.infer.device_resident  # the pipelined path is the default
+
+    rng = np.random.default_rng(13)
+    vols, masks = [], []
+    data_dir, mask_dir, out_dir = tmp_path / "d", tmp_path / "m", tmp_path / "o"
+    data_dir.mkdir(), mask_dir.mkdir()
+    for i in range(3):
+        vol = rng.normal(0, 50, (32, 32, 24 + 2 * i)).astype(np.float32)
+        mask = np.zeros(vol.shape, np.uint8)
+        mask[8:24, 8:24, 4 : vol.shape[2] - 4] = 1
+        nifti.write(data_dir / f"test-volume-{i}.nii", vol)
+        nifti.write(mask_dir / f"test-volume-{i}-ori.nii", mask)
+        vols.append(vol), masks.append(mask)
+
+    predict_directory(
+        params, bn_state, cfg,
+        data_dir=data_dir, liver_mask_dir=mask_dir, save_dir=out_dir,
+        num_volumes=3, log=lambda *a, **k: None,
+    )
+    ref = VolumePredictor(params, bn_state, cfg)
+    for i in range(3):
+        got, _ = nifti.read(out_dir / f"test-segmentation-{i}.nii")
+        np.testing.assert_array_equal(
+            np.asarray(got), ref.segment(vols[i], masks[i]), err_msg=f"vol {i}"
+        )
+
+
+def test_layout3d_dhwc_matches_canonical(tiny_hybrid):
+    """layout3d='dhwc' (d-major 3D branch, models/dmajor.py) is a pure XLA
+    layout change: scored probabilities must match the canonical layout to
+    conv-reassociation tolerance and labelmasks must agree."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    rng = np.random.default_rng(11)
+    vol = rng.normal(0, 50, (32, 32, 30)).astype(np.float32)
+
+    def run(layout):
+        cfg = InferConfig(
+            input_size=32, input_cols=8, window_batch=2, layout3d=layout
+        )
+        s = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny")
+        return s.predict_volume(vol, 3, 27)
+
+    l_a, t_a = run("hwdc")
+    l_b, t_b = run("dhwc")
+    np.testing.assert_allclose(l_a, l_b, atol=1e-5)
+    np.testing.assert_allclose(t_a, t_b, atol=1e-5)
+
+
 def test_compute_seconds_smoke(tiny_hybrid):
     """compute_seconds runs the k-rep program and returns a positive float
     (the relay-immune bench protocol; numerics must stay finite)."""
