@@ -22,6 +22,11 @@ Lever variants per op (--levers):
            (raises lane occupancy kz*Cout/128, known-negative at model level)
   cout128  same op with Cout raised to 128 (confirms the lane cap, not a
            semantics-preserving option)
+  s2d      space-to-depth phase decomposition of a stride-2 conv: the 7^3
+           stride-2 stem becomes a stride-1 4^3 conv over the 2^3 parity
+           subgrids stacked into channels (Cin 4 -> 32, contraction 1372 ->
+           2048 MXU-aligned). Exact modulo float reassociation; only valid
+           for stride-2 ops (the stem).
 
 Usage: python benchmarks/profile_3d.py [--wb 8] [--size 512] [--ops stem,up4]
        [--levers base,dmajor] [--reps 3] [--k 8]
@@ -83,35 +88,45 @@ def main():
         "up4":   ((S,        S,        8, 96),  64,  3, 1),
     }
 
-    def slope_time(scalar_fn, inputs, k_big=args.k, k_small=1, reps=args.reps):
-        def make(k):
-            @jax.jit
-            def g(*xs):
-                def body(i, acc):
-                    return acc + scalar_fn(*xs, jitter=acc * 1e-30)
-                return lax.fori_loop(0, k, body, jnp.float32(0.0))
-            return g
+    def _runner(scalar_fn, inputs, k):
+        """Compile the k-rep loop-carried program; return a timing closure."""
+        @jax.jit
+        def g(*xs):
+            def body(i, acc):
+                return acc + scalar_fn(*xs, jitter=acc * 1e-30)
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        g_small, g_big = make(k_small), make(k_big)
-
-        def run(g):
+        def run():
             t0 = time.perf_counter()
             _ = float(g(*inputs))
             return time.perf_counter() - t0
 
-        run(g_small), run(g_big)
-        ts = min(run(g_small) for _ in range(reps))
-        tb = min(run(g_big) for _ in range(reps))
-        return max((tb - ts) / (k_big - k_small), 1e-9)
+        return run
+
+    def slope_time(scalar_fn, inputs, k_big=args.k, k_small=1, reps=args.reps):
+        run_s = _runner(scalar_fn, inputs, k_small)
+        run_b = _runner(scalar_fn, inputs, k_big)
+        run_s(), run_b()  # compile + warm
+        ts = min(run_s() for _ in range(reps))
+        tb = min(run_b() for _ in range(reps))
+        return max((tb - ts) / (k_big - k_small), 1e-9), ts, tb
 
     def slope_time_auto(scalar_fn, inputs, reps=args.reps, target_s=1.5):
         """slope_time with k sized so the slope signal (~target_s of work)
         dwarfs the relay's 0.1-2 s dispatch noise — ms-scale ops at k=8 sit
-        below that floor and measure as garbage (round-3 campaign lesson)."""
-        est = slope_time(scalar_fn, inputs, k_big=8, k_small=1, reps=1)
-        k_big = int(np.clip(np.ceil(target_s / max(est, 1e-7)), 16, 16384))
+        below that floor and measure as garbage (round-3 campaign lesson #1).
+
+        The per-iteration estimate is floored at t8/48 (overhead cannot
+        exceed ~6x the whole k=8 wall time), which bounds the k_big endpoint
+        to <= ~9 s of chip work even when relay noise zeroes the calibration
+        slope — without the floor a zeroed slope clamped k_big to 16384 and
+        turned a 58 ms op into a 75-minute probe (campaign lesson #2)."""
+        est, _, t8 = slope_time(scalar_fn, inputs, k_big=8, k_small=1, reps=1)
+        per_iter = max(est, t8 / 48.0, 1e-7)
+        k_big = int(np.clip(np.ceil(target_s / per_iter), 16, 16384))
         k_small = max(1, k_big // 8)
-        return slope_time(scalar_fn, inputs, k_big=k_big, k_small=k_small, reps=reps)
+        sl, _, _ = slope_time(scalar_fn, inputs, k_big=k_big, k_small=k_small, reps=reps)
+        return sl
 
     rng = np.random.default_rng(0)
 
@@ -178,6 +193,59 @@ def main():
                 )
                 return jnp.sum(y.astype(jnp.float32))
             inputs = (xf,)
+            d_minor = None
+        elif lever == "s2d":
+            assert st == 2, f"s2d lever needs stride 2, {name} has {st}"
+            kq = (kk + 1) // 2  # taps per parity phase (7 -> 4)
+            # pad so index u = st*o + p covers [0, st*(out-1)+kk-1], length even
+            lens = []
+            xp = x
+            for ax, s_in in enumerate((h, w, d)):
+                o_n = (s_in + 2 * pad - kk) // st + 1
+                need = st * (o_n - 1) + kk  # max u + 1
+                # phase subgrid m-range needs o_n - 1 + kq - 1 < need_half
+                half = max(-(-need // st), o_n - 1 + kq)
+                total = half * st
+                cfg = [(0, 0)] * 5
+                cfg[1 + ax] = (pad, total - s_in - pad)
+                xp = jnp.pad(xp, cfg)
+                lens.append(half)
+            # stack the st^3 parity subgrids into channels: order r = (rh,rw,rd)
+            phases = [
+                xp[:, rh::st, rw::st, rd::st, :]
+                for rh in range(st) for rw in range(st) for rd in range(st)
+            ]
+            xs = jnp.concatenate(phases, axis=-1)  # (wb, half_h, half_w, half_d, st^3*cin)
+            # matching kernel: ks[qh,qw,qd, r*cin+c, f] = w[st*qh+rh, ...]
+            kern_np = np.asarray(kern, np.float32)
+            ks = np.zeros((kq, kq, kq, st ** 3 * cin, cout), np.float32)
+            ri = 0
+            for rh in range(st):
+                for rw in range(st):
+                    for rd in range(st):
+                        for qh in range(kq):
+                            for qw in range(kq):
+                                for qd in range(kq):
+                                    ph, pw_, pd = st * qh + rh, st * qw + rw, st * qd + rd
+                                    if ph < kk and pw_ < kk and pd < kk:
+                                        ks[qh, qw, qd, ri * cin : (ri + 1) * cin, :] = (
+                                            kern_np[ph, pw_, pd]
+                                        )
+                        ri += 1
+            ks = jnp.asarray(ks, dtype)
+            o_sp = out_sp
+
+            def f(xs, ks, *, jitter):
+                y = lax.conv_general_dilated(
+                    xs + jitter.astype(dtype), ks,
+                    window_strides=(1, 1, 1), padding="VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                )
+                # VALID over the padded phase grid can overshoot out_sp by a
+                # couple of positions; crop to the true output
+                y = y[:, : o_sp[0], : o_sp[1], : o_sp[2], :]
+                return jnp.sum(y.astype(jnp.float32))
+            inputs = (xs, ks)
             d_minor = None
         else:
             raise SystemExit(f"unknown lever {lever}")

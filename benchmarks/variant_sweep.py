@@ -1,0 +1,100 @@
+"""Model-level A/B sweep of InferConfig perf variants on the real volume.
+
+Measures the full serving program (DeviceVolumeScorer.compute_seconds — the
+relay-immune loop-carried slope protocol, identical program to bench.py's
+compute metric) for each requested combination of the round-3 levers:
+
+  base      committed defaults (hwdc layout, direct stem, unroll 1)
+  dhwc      layout3d='dhwc'   (d-major 3D branch + HFF head, models/dmajor.py)
+  s2d       stem_s2d=True     (space-to-depth 7^3 stride-2 stem, models/s2d.py)
+  dhwc+s2d  both
+  unroll2   batch_unroll=2    (window-batch lax.scan unroll — lets XLA overlap
+            batch i+1's 2D encoder with batch i's 3D tail)
+  best+u2   winner-of-above + unroll 2
+
+All variants are bit-identical or exact-modulo-reassociation vs base (parity
+tests in tests/test_models.py / test_infer.py); this script only decides
+which becomes the committed default. Run EXCLUSIVELY (1-core host rule).
+
+Usage: python benchmarks/variant_sweep.py [--variants base,dhwc,...]
+       [--z 192] [--size 512] [--preset full] [--reps 2]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+
+VARIANTS = {
+    "base": {},
+    "dhwc": {"layout3d": "dhwc"},
+    "s2d": {"stem_s2d": True},
+    "dhwc+s2d": {"layout3d": "dhwc", "stem_s2d": True},
+    "unroll2": {"batch_unroll": 2},
+    "s2d+u2": {"stem_s2d": True, "batch_unroll": 2},
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="base,s2d,dhwc,dhwc+s2d,unroll2")
+    ap.add_argument("--z", type=int, default=192)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--preset", default="full")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from hdenseunet_tpu.core.config import InferConfig
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+    from hdenseunet_tpu.models import hybrid
+
+    print(f"devices: {jax.devices()}", flush=True)
+    size, z = args.size, args.z
+    cols = 8
+
+    t0 = time.perf_counter()
+    params, bn_state = hybrid.init(
+        jax.random.key(0), input_size=size, input_cols=cols, batch=1,
+        arch="end2end", preset=args.preset,
+    )
+    print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0.0, 50.0, (size, size, z)).astype(np.float32)
+    mini_z, maxi_z = 10, z - 15  # liver z-range; margins -5/+10 like funcs.py
+
+    results = {}
+    for name in args.variants.split(","):
+        over = VARIANTS[name]
+        cfg = InferConfig(input_size=size, input_cols=cols, **over)
+        scorer = DeviceVolumeScorer(
+            params, bn_state, cfg, arch="end2end", preset=args.preset
+        )
+        t0 = time.perf_counter()
+        d = scorer.compute_seconds(
+            vol, mini_z, maxi_z, reps=args.reps, detail=True
+        )
+        wall = time.perf_counter() - t0
+        results[name] = d["seconds"]
+        print(
+            f"{name:10s} compute_s/vol={d['seconds']:7.3f}  "
+            f"slopes={['%.3f' % s for s in d['slopes']]}  "
+            f"t1={['%.2f' % t for t in d['t_small']]} "
+            f"t3={['%.2f' % t for t in d['t_big']]}  wall={wall:.0f}s",
+            flush=True,
+        )
+
+    base = results.get("base")
+    if base:
+        for name, s in results.items():
+            print(f"{name:10s} {s:7.3f} s/vol  {base / s:5.2f}x vs base")
+
+
+if __name__ == "__main__":
+    main()

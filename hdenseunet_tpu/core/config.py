@@ -54,6 +54,15 @@ class ModelConfig:
     reduction: float = 0.5
     compute_dtype: str = "float32"  # 'bfloat16' for the fast path
     preset: str = "full"  # 'full' (reference layout) | 'tiny' (tests/dry runs)
+    # Training-side execution variants for the hybrid stages (3dpart/end2end);
+    # semantics-preserving (same MAC set / parameters as the canonical path,
+    # equal to float-summation order) — see InferConfig.layout3d / stem_s2d
+    # for the serving-side knobs and BENCH_NOTES.md for measurements.
+    # Caveat for layout3d='dhwc' under train=True: dropout masks are drawn in
+    # the d-major orientation — a different random realization of the same
+    # distribution (eval/inference is exact; tests/test_train.py).
+    layout3d: str = "hwdc"
+    stem_s2d: bool = False
 
 
 @dataclasses.dataclass
@@ -129,6 +138,12 @@ class InferConfig:
     # pad the sublane dim). Bit-identical outputs; BENCH_NOTES.md round-3
     # records the per-op and model-level measurements.
     layout3d: str = "hwdc"
+    # space-to-depth 3D stem (models/s2d.py): the 7^3 stride-2 stem as a
+    # stride-1 4^3 conv over the 2^3 parity subgrids stacked into channels —
+    # same MAC set, measured 5.9x faster at the real stem shape (the Cin=4
+    # input starves the MXU contraction otherwise). Exact modulo
+    # float-summation order; parity-tested in tests/test_models.py.
+    stem_s2d: bool = False
 
 
 @dataclasses.dataclass

@@ -24,6 +24,7 @@ being graph side-effects (reference normalization.py:114-123 ``add_update``).
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Any, Callable
 
@@ -121,26 +122,53 @@ def init(
     FLOPs run at init time; parameters are then materialized with a dedicated
     PRNG stream per (layer, leaf) in sorted-name order (reproducible regardless
     of trace order).
+
+    Materialization runs eagerly on the HOST CPU backend: a full-preset hybrid
+    has ~2,000 leaves, and per-leaf eager dispatch to an accelerator pays
+    ~2,000 device round-trips at process start (minutes-to-hours through a
+    high-latency link; measured as the dominant startup cost on the tunneled
+    TPU host). Threefry and the initializer math are bit-identical across
+    backends, and the arrays transfer to the accelerator in bulk at the first
+    jit call — so values, checkpoints, and tests are unaffected.
     """
     ctx = Ctx(record=True, train=False, param_dtype=param_dtype)
     jax.eval_shape(lambda *a: apply_fn(ctx, *a, **apply_kwargs), *example_args)
 
-    params: dict[str, dict[str, jnp.ndarray]] = {}
     flat = [
         (name, leaf, spec)
         for name in sorted(ctx.param_specs)
         for leaf, spec in sorted(ctx.param_specs[name].items())
     ]
-    for i, (name, leaf, spec) in enumerate(flat):
-        key = jax.random.fold_in(rng, i)
-        params.setdefault(name, {})[leaf] = initializers.get(spec.init)(
-            key, spec.shape, spec.dtype
-        )
+    try:
+        host = jax.devices("cpu")[0]
+    except RuntimeError:  # CPU backend disabled: materialize on the default
+        host = None
 
-    state: dict[str, dict[str, jnp.ndarray]] = {}
-    for name in sorted(ctx.state_specs):
-        for leaf, (shape, fill) in sorted(ctx.state_specs[name].items()):
-            state.setdefault(name, {})[leaf] = jnp.full(shape, fill, jnp.float32)
+    with contextlib.ExitStack() as stack:
+        if host is not None:
+            # default_device (not device_put) keeps every array UNCOMMITTED:
+            # a committed-to-CPU pytree would pin later jit computations to
+            # the CPU backend instead of transferring to the accelerator.
+            stack.enter_context(jax.default_device(host))
+            # pull the key's bytes to host ONCE so the per-leaf fold_ins
+            # don't each round-trip an accelerator-resident key
+            if jnp.issubdtype(getattr(rng, "dtype", None), jax.dtypes.prng_key):
+                rng = jax.random.wrap_key_data(
+                    jnp.asarray(jax.device_get(jax.random.key_data(rng)))
+                )
+            else:
+                rng = jnp.asarray(jax.device_get(rng))
+        params: dict[str, dict[str, jnp.ndarray]] = {}
+        for i, (name, leaf, spec) in enumerate(flat):
+            key = jax.random.fold_in(rng, i)
+            params.setdefault(name, {})[leaf] = initializers.get(spec.init)(
+                key, spec.shape, spec.dtype
+            )
+
+        state: dict[str, dict[str, jnp.ndarray]] = {}
+        for name in sorted(ctx.state_specs):
+            for leaf, (shape, fill) in sorted(ctx.state_specs[name].items()):
+                state.setdefault(name, {})[leaf] = jnp.full(shape, fill, jnp.float32)
     return params, state
 
 

@@ -92,7 +92,7 @@ def _batch_loop(n_batches, body, init, starts, weights, unroll):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "output",
-        "mesh", "pad_to", "unroll", "layout3d",
+        "mesh", "pad_to", "unroll", "layout3d", "stem_s2d",
     ),
 )
 def _score_volume(
@@ -113,6 +113,7 @@ def _score_volume(
     pad_to=None,
     unroll: int = 1,
     layout3d: str = "hwdc",
+    stem_s2d: bool = False,
 ):
     """vol: (X, Y, Zwire) mean-subtracted (zero-padded on device to
     ``pad_to``); starts/weights: (n_batches, wb).
@@ -147,7 +148,7 @@ def _score_volume(
         ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
         logits = hybrid.apply(
             ctx, wins, arch=arch, preset=preset, num_classes=num_classes,
-            layout3d=layout3d,
+            layout3d=layout3d, stem_s2d=stem_s2d,
         )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
 
@@ -340,6 +341,7 @@ class DeviceVolumeScorer:
             cols=self.cfg.input_cols,
             pad_to=(p["xp"], p["yp"], zp),
             layout3d=getattr(self.cfg, "layout3d", "hwdc"),
+            stem_s2d=getattr(self.cfg, "stem_s2d", False),
         )
         if self.shared_2d:
             arrays = (
@@ -507,7 +509,7 @@ def tile_origins(dim: int, win: int, step: int) -> list[int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch", "preset", "compute_dtype", "num_classes", "win", "layout3d"),
+    static_argnames=("arch", "preset", "compute_dtype", "num_classes", "win", "layout3d", "stem_s2d"),
 )
 def _score_tiles(
     params,
@@ -522,6 +524,7 @@ def _score_tiles(
     num_classes: int,
     win: tuple,
     layout3d: str = "hwdc",
+    stem_s2d: bool = False,
 ):
     """3D-tiled scoring: full-window softmax accumulate (no edge-slice drop,
     matching the reference variant). origins: (n_batches, wb, 3) int32."""
@@ -544,7 +547,7 @@ def _score_tiles(
         ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
         logits = hybrid.apply(
             ctx, wins, arch=arch, preset=preset, num_classes=num_classes,
-            layout3d=layout3d,
+            layout3d=layout3d, stem_s2d=stem_s2d,
         )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -627,6 +630,7 @@ class TiledVolumeScorer:
             num_classes=self.num_classes,
             win=(wx, wy, wz),
             layout3d=getattr(self.cfg, "layout3d", "hwdc"),
+            stem_s2d=getattr(self.cfg, "stem_s2d", False),
         )
         return score[:x0, :y0, :z0]
 
@@ -644,7 +648,7 @@ class TiledVolumeScorer:
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "chunk2d",
-        "pad_to", "layout3d",
+        "pad_to", "layout3d", "stem_s2d",
     ),
 )
 def _score_volume_shared2d(
@@ -663,6 +667,7 @@ def _score_volume_shared2d(
     chunk2d: int = 8,
     pad_to=None,
     layout3d: str = "hwdc",
+    stem_s2d: bool = False,
 ):
     """Sliding-window scoring with the 2D branch computed ONCE per z-slice.
 
@@ -690,7 +695,7 @@ def _score_volume_shared2d(
     inner = cols - 2
 
     kw2d = dict(denseunet2d.PRESETS[preset])
-    kw3d = dict(denseunet3d.PRESETS[preset], layout=layout3d)
+    kw3d = dict(denseunet3d.PRESETS[preset], layout=layout3d, stem_s2d=stem_s2d)
     feat_width = kw2d.get("decoder_widths", (768, 384, 96, 96, 64))[-1]
     assert zp % chunk2d == 0, (zp, chunk2d)
 
@@ -741,8 +746,13 @@ def _score_volume_shared2d(
             [vol_w[..., None], res_w * LOGIT_AMPLIFICATION], axis=-1
         )
         ctx = Ctx(params, bn_state, train=False, compute_dtype=dtype)
-        feat3d, _ = denseunet3d.apply(ctx, input3d, num_classes=num_classes, **kw3d)
-        logits = hff_head(ctx, feat3d, fea_w, arch=arch, num_classes=num_classes)
+        feat3d, _ = denseunet3d.apply(
+            ctx, input3d, num_classes=num_classes,
+            unfold_outputs=layout3d != "dhwc", **kw3d,
+        )
+        logits = hff_head(
+            ctx, feat3d, fea_w, arch=arch, num_classes=num_classes, layout=layout3d
+        )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
 
         def acc(j, carry2):
@@ -818,7 +828,7 @@ def make_grid_structured(starts_list: list[int], wb: int, stride: int):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "stride",
-        "output", "mesh", "pad_to", "unroll", "layout3d",
+        "output", "mesh", "pad_to", "unroll", "layout3d", "stem_s2d",
     ),
 )
 def _score_volume_dedup2d(
@@ -840,6 +850,7 @@ def _score_volume_dedup2d(
     pad_to=None,
     unroll: int = 1,
     layout3d: str = "hwdc",
+    stem_s2d: bool = False,
 ):
     """Exact scoring with in-batch 2D dedup over stride-aligned window runs.
 
@@ -865,7 +876,7 @@ def _score_volume_dedup2d(
     inner = cols - 2
 
     kw2d = dict(denseunet2d.PRESETS[preset])
-    kw3d = dict(denseunet3d.PRESETS[preset], layout=layout3d)
+    kw3d = dict(denseunet3d.PRESETS[preset], layout=layout3d, stem_s2d=stem_s2d)
 
     NI = (wb - 1) * stride + cols - 2  # unique interior stack centers per run
     # static assembly map: window j, position p -> index into the 2D batch
@@ -923,8 +934,13 @@ def _score_volume_dedup2d(
         )(s_i)[..., None]
 
         input3d = jnp.concatenate([vol_w, res_w * LOGIT_AMPLIFICATION], axis=-1)
-        feat3d, _ = denseunet3d.apply(ctx, input3d, num_classes=num_classes, **kw3d)
-        logits = hff_head(ctx, feat3d, fea_w, arch=arch, num_classes=num_classes)
+        feat3d, _ = denseunet3d.apply(
+            ctx, input3d, num_classes=num_classes,
+            unfold_outputs=layout3d != "dhwc", **kw3d,
+        )
+        logits = hff_head(
+            ctx, feat3d, fea_w, arch=arch, num_classes=num_classes, layout=layout3d
+        )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :, :, 1:-1, :]
 
         def acc(j, carry2):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..core.module import Ctx, init as module_init, maybe_remat
 from . import dmajor
 from . import layers as L
+from . import s2d
 from . import zfold
 
 EPS_ENCODER = 1.1e-5  # reference denseunet3d.py:28
@@ -192,6 +193,8 @@ def apply(
     taps: dict | None = None,
     fold_z: bool = False,
     layout: str = "hwdc",
+    unfold_outputs: bool = True,
+    stem_s2d: bool = False,
 ):
     """Forward pass. x: (B, H, W, D, C) with H, W divisible by 32, D by 4.
 
@@ -204,6 +207,15 @@ def apply(
     transposed in/out here, parameters and outputs identical). See the
     BENCH_NOTES.md round-3 per-op table for when each wins.
 
+    ``unfold_outputs=False`` (layout='dhwc' only) returns the feature map
+    and logits still d-major (B,D,H,W,C) so a d-major consumer (the hybrid's
+    HFF head) can fuse without a round-trip transpose; taps stay canonical.
+
+    ``stem_s2d``: run the 7^3 stride-2 stem via space-to-depth parity
+    decomposition (models/s2d.py) — same MAC set and parameters, measured
+    5.9x faster at the real stem shape (Cin=4 starves the MXU contraction
+    otherwise); exact modulo float-summation order.
+
     ``fold_z``: execute the whole branch z-folded — every op a native 2D op
     on (B*D, H, W, C) tensors (models/zfold.py), exact to float-summation
     order vs the default. Kept OFF: although isolated conv microbenches
@@ -215,6 +227,7 @@ def apply(
     assert x.shape[3] % 4 == 0, f"depth {x.shape[3]} must be divisible by 4"
     assert layout in ("hwdc", "dhwc"), layout
     assert not (fold_z and layout != "hwdc"), "fold_z and dhwc are exclusive"
+    assert unfold_outputs or layout == "dhwc", "unfold_outputs=False needs dhwc"
     compression = 1.0 - reduction
 
     if fold_z:
@@ -226,7 +239,15 @@ def apply(
     else:
         ops = _DirectOps()
 
-    x = ops.conv(ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
+    if stem_s2d:
+        assert not fold_z, "stem_s2d and fold_z are exclusive"
+        x = s2d.conv3d_s2d(
+            ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3,
+            use_bias=False,
+            kernel_perm=(2, 0, 1) if layout == "dhwc" else (0, 1, 2),
+        )
+    else:
+        x = ops.conv(ctx, x, "3dconv1", INITIAL_FILTERS, 7, stride=2, padding=3, use_bias=False)
     x = L.bn_scale_relu(
         ctx, x, "3dconv1_bn", "3dconv1_scale", eps=EPS_ENCODER, frozen=bn_frozen
     )
@@ -264,11 +285,12 @@ def apply(
     d = _up_stage3d(ctx, ops, d, 4, w4, (2, 2, 2), frozen=bn_frozen)
 
     logits = ops.conv(ctx, d, "3dclassifer", num_classes, 1, padding="same")
-    d = ops.unfold(d)
-    logits = ops.unfold(logits)
+    if unfold_outputs:
+        d = ops.unfold(d)
+        logits = ops.unfold(logits)
     if taps is not None:
-        taps["3dac_up4"] = d
-        taps["3dclassifer"] = logits
+        taps["3dac_up4"] = d if unfold_outputs else ops.unfold(d)
+        taps["3dclassifer"] = logits if unfold_outputs else ops.unfold(logits)
     return d, logits
 
 

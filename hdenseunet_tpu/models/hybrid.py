@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.module import Ctx, init as module_init
-from . import denseunet2d, denseunet3d
+from . import denseunet2d, denseunet3d, dmajor
 from . import layers as L
 from . import zfold
 
@@ -74,12 +74,14 @@ def apply(
     preset: str = "full",
     taps: dict | None = None,
     layout3d: str = "hwdc",
+    stem_s2d: bool = False,
 ):
     """Forward pass. vol: (B, H, W, D, 1); H, W divisible by 32; D by 4.
 
     Returns logits (B, H, W, D, num_classes). ``taps``, when given a dict,
     collects fusion-boundary activations for parity audits. ``layout3d``
-    selects the 3D branch's XLA activation layout (denseunet3d.apply).
+    selects the 3D branch's XLA activation layout; ``stem_s2d`` the
+    space-to-depth 3D stem (both denseunet3d.apply knobs).
     """
     assert arch in ("end2end", "3dpart"), arch
     b, h, w, d = vol.shape[:4]
@@ -98,19 +100,28 @@ def apply(
     fea2d = unstack_to_volume(feat2d, b, d)  # (B,H,W,D,64)
 
     input3d = jnp.concatenate([vol, res2d * LOGIT_AMPLIFICATION], axis=-1)
+    dhwc = layout3d == "dhwc"
     feat3d, _ = denseunet3d.apply(
-        ctx, input3d, reduction=0.5, layout=layout3d, **denseunet3d.PRESETS[preset]
+        ctx, input3d, reduction=0.5, layout=layout3d, stem_s2d=stem_s2d,
+        unfold_outputs=not dhwc, **denseunet3d.PRESETS[preset]
     )
 
-    logits = hff_head(ctx, feat3d, fea2d, arch=arch, num_classes=num_classes)
+    logits = hff_head(
+        ctx, feat3d, fea2d, arch=arch, num_classes=num_classes, layout=layout3d
+    )
     if taps is not None:
-        taps.update(
-            {"res2d": res2d, "fea2d": fea2d, "feat3d": feat3d, "2d3dclassifer": logits}
-        )
+        taps.update({
+            "res2d": res2d, "fea2d": fea2d,
+            "feat3d": dmajor.unfold(feat3d) if dhwc else feat3d,
+            "2d3dclassifer": logits,
+        })
     return logits
 
 
-def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3, fold_z: bool = False):
+def hff_head(
+    ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3,
+    fold_z: bool = False, layout: str = "hwdc",
+):
     """HFF fusion head (hybridnet.py:414-419): add -> Conv3D(64) -> Dropout
     (0.3 end2end / 0.1 3dpart) -> BN -> ReLU -> 1x1x1 Conv '2d3dclassifer'.
 
@@ -119,7 +130,22 @@ def hff_head(ctx: Ctx, feat3d, fea2d, *, arch: str, num_classes: int = 3, fold_z
     ``fold_z`` executes the head's convs z-folded (models/zfold.py) — exact
     to float-summation order; off by default (measured slower at model
     level on v5e, see denseunet3d.apply docstring).
+
+    ``layout='dhwc'`` runs the head d-major (models/dmajor.py): ``feat3d``
+    must then ALREADY be (B,D,H,W,C) (denseunet3d.apply with
+    unfold_outputs=False); ``fea2d`` stays canonical and is folded here.
+    The head's fianl_conv is an up4-class op (512^2 x D8, 3^3, 64ch = 0.5
+    lane occupancy) so the same sublane win applies.
     """
+    assert not (fold_z and layout != "hwdc"), "fold_z and dhwc are exclusive"
+    if layout == "dhwc":
+        fused = feat3d + dmajor.fold(fea2d)  # HFF (hybridnet.py:414)
+        f = dmajor.conv3d(ctx, fused, "fianl_conv", 64, 3, padding="same")  # [sic]
+        f = L.dropout(ctx, f, 0.3 if arch == "end2end" else 0.1)
+        f = L.batch_norm(ctx, f, "final_bn", eps=1e-3)
+        f = L.relu(f)
+        out = dmajor.conv3d(ctx, f, "2d3dclassifer", num_classes, 1, padding="same")
+        return dmajor.unfold(out)
     if fold_z:
         f3, b, d = zfold.fold(feat3d)
         f2, _, _ = zfold.fold(fea2d)

@@ -108,6 +108,8 @@ def _forward_loss(params, bn_state, batch, rng, *, arch, cfg: Config, train=True
             arch=arch,
             num_classes=cfg.model.num_classes,
             preset=cfg.model.preset,
+            layout3d=getattr(cfg.model, "layout3d", "hwdc"),
+            stem_s2d=getattr(cfg.model, "stem_s2d", False),
         )
         if cfg.train.mask_boundary_slices:
             loss = weighted_crossentropy_hybrid(

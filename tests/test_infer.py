@@ -528,6 +528,28 @@ def test_layout3d_dhwc_matches_canonical(tiny_hybrid):
     np.testing.assert_allclose(t_a, t_b, atol=1e-5)
 
 
+def test_stem_s2d_scoring_matches_direct(tiny_hybrid):
+    """infer.stem_s2d (space-to-depth 3D stem) scores must match the direct
+    stem to float-reassociation tolerance through the full serving kernel."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    rng = np.random.default_rng(12)
+    vol = rng.normal(0, 50, (32, 32, 30)).astype(np.float32)
+
+    def run(flag):
+        cfg = InferConfig(
+            input_size=32, input_cols=8, window_batch=2, stem_s2d=flag
+        )
+        s = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny")
+        return s.predict_volume(vol, 3, 27)
+
+    l_a, t_a = run(False)
+    l_b, t_b = run(True)
+    np.testing.assert_allclose(l_a, l_b, atol=1e-5)
+    np.testing.assert_allclose(t_a, t_b, atol=1e-5)
+
+
 def test_compute_seconds_smoke(tiny_hybrid):
     """compute_seconds runs the k-rep program and returns a positive float
     (the relay-immune bench protocol; numerics must stay finite)."""

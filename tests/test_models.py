@@ -375,6 +375,50 @@ def test_denseunet3d_dmajor_matches_direct():
             )
 
 
+def test_denseunet3d_stem_s2d_matches_direct():
+    """stem_s2d=True (space-to-depth 7^3 stride-2 stem, models/s2d.py) ==
+    direct conv to float-reassociation tolerance, in BOTH layouts, with the
+    identical parameter tree — and gradients must flow through the in-trace
+    phase packing (training uses the same code path)."""
+    kw = denseunet3d.PRESETS["tiny"]
+    params, bn = denseunet3d.init(
+        jax.random.key(0), input_size=32, input_cols=8, channels=4, **kw
+    )
+    p_s2d, _ = denseunet3d.init(
+        jax.random.key(0), input_size=32, input_cols=8, channels=4,
+        stem_s2d=True, **kw
+    )
+    assert params["3dconv1"]["kernel"].shape == p_s2d["3dconv1"]["kernel"].shape
+
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(0, 1, (2, 32, 32, 8, 4)).astype(np.float32)
+    )
+    ref, _ = denseunet3d.apply(
+        Ctx(params, bn, train=False, compute_dtype=jnp.float32), x, **kw
+    )
+    for layout in ("hwdc", "dhwc"):
+        got, _ = denseunet3d.apply(
+            Ctx(params, bn, train=False, compute_dtype=jnp.float32),
+            x, stem_s2d=True, layout=layout, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, err_msg=layout
+        )
+
+    def loss(p, flag):
+        f, _ = denseunet3d.apply(
+            Ctx(p, bn, train=False, compute_dtype=jnp.float32),
+            x, stem_s2d=flag, **kw,
+        )
+        return jnp.sum(f ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)["3dconv1"]["kernel"]
+    g_s2d = jax.grad(lambda p: loss(p, True))(params)["3dconv1"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(g_s2d), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_hff_head_fold_z_matches_direct():
     params, bn = hybrid.init(
         jax.random.key(0), input_size=32, input_cols=8, batch=1,
