@@ -38,6 +38,12 @@ VARIANTS = {
     "dhwc+s2d": {"layout3d": "dhwc", "stem_s2d": True},
     "unroll2": {"batch_unroll": 2},
     "s2d+u2": {"stem_s2d": True, "batch_unroll": 2},
+    "all3": {"layout3d": "dhwc", "stem_s2d": True, "batch_unroll": 2},
+    # window-batch probes: wb=16 OOM'd pre-round-3 (24.8 G / 15.75 G HBM);
+    # the z-cropped score buffer may have changed the ceiling
+    "wb4": {"window_batch": 4},
+    "wb12": {"window_batch": 12},
+    "wb16": {"window_batch": 16},
 }
 
 
@@ -48,7 +54,11 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--preset", default="full")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (script smoke test)")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from hdenseunet_tpu.core.config import InferConfig
     from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
