@@ -24,7 +24,11 @@ Training metrics ride the same JSON line (driver-visible, BASELINE.md's
 the previous dispatch's TrainState, the reference's always-chained protocol
 (training.py:1715) — batch 8 @ 224^2 bf16 with remat, min over reps of a
 20-step loop. train_mfu counts model FLOPs (fwd + 2x fwd for bwd; remat
-recompute is execution detail, not model work).
+recompute is execution detail, not model work). ``train_compute_ms_per_step``
+is the relay-immune twin: K chained steps inside ONE dispatch (lax.scan,
+trainer.make_multi_step), per-step time = slope between k=4 and k=12
+programs — dispatch latency cancels exactly as in the inference compute
+metric.
 
 Baseline: the reference repo publishes no timing (SURVEY.md §6). The paper
 behind it (TMI 2018, linked at reference README.md:6) reports end-to-end
@@ -41,6 +45,7 @@ Env knobs (local smoke runs off-TPU):
   BENCH_COMPUTE_REPS=3 slope endpoint repetitions
   BENCH_TRAIN=1        also measure the chained train step (default on)
   BENCH_UNROLL=N       window-batch loop unroll (default InferConfig default)
+  BENCH_CPU=1          force the CPU backend (script smoke test off-TPU)
 """
 from __future__ import annotations
 
@@ -98,6 +103,34 @@ def measure_train(preset: str) -> dict:
 
     dt = min(loop() for _ in range(reps))
 
+    # Relay-immune compute number: K chained steps inside ONE dispatch
+    # (lax.scan over a stacked batch, trainer.make_multi_step — numerically
+    # identical to K sequential steps); per-step time is the slope between a
+    # k-small and a k-big program, so dispatch latency + h2d cancel, same
+    # protocol as the inference compute metric.
+    k_small, k_big = 4, 12
+
+    def run_k(k):
+        multi = trainer.make_multi_step(tx, cfg, mesh, "2d", k=k)
+        stacked_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data")
+        )
+        stacked = {
+            kk: jax.device_put(np.broadcast_to(np.asarray(v), (k,) + v.shape).copy(), stacked_sh)
+            for kk, v in db.items()
+        }
+        _, losses = multi(ts0, stacked)  # compile + warm
+        assert np.isfinite(float(np.asarray(losses).ravel()[-1]))
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, losses = multi(ts0, stacked)
+            float(np.asarray(losses).ravel()[-1])  # scalar d2h = sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_c = (run_k(k_big) - run_k(k_small)) / (k_big - k_small)
+
     fwd = conv_flops(
         denseunet2d.apply, (batch, size, size, 3), bn_frozen=False,
         decoder_dropout=0.0, **denseunet2d.PRESETS[preset],
@@ -107,11 +140,19 @@ def measure_train(preset: str) -> dict:
         "train_ms_per_step": round(dt * 1e3, 2),
         "train_slices_per_s_chip": round(batch / dt / jax.device_count(), 1),
         "train_mfu": round(3.0 * fwd / dt / peak, 4),
+        "train_compute_ms_per_step": round(dt_c * 1e3, 2),
+        "train_compute_slices_per_s_chip": round(
+            batch / dt_c / jax.device_count(), 1
+        ),
+        "train_compute_mfu": round(3.0 * fwd / dt_c / peak, 4),
     }
 
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
 
     from hdenseunet_tpu.core.config import InferConfig
     from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
