@@ -144,6 +144,10 @@ class InferConfig:
     # input starves the MXU contraction otherwise). Exact modulo
     # float-summation order; parity-tested in tests/test_models.py.
     stem_s2d: bool = False
+    # labelmask wire width: 2 = z-cropped 2-bit-packed mask d2h (labels are
+    # {0,1,3} — lossless, 4x+ fewer bytes than uint8, packing fused into the
+    # scoring program); 8 = plain uint8 mask. Byte-identical labelmaps.
+    wire_bits: int = 2
 
 
 @dataclasses.dataclass

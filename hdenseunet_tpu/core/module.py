@@ -140,7 +140,11 @@ def init(
         for leaf, spec in sorted(ctx.param_specs[name].items())
     ]
     try:
-        host = jax.devices("cpu")[0]
+        # local_devices, not devices: under a multi-process runtime the
+        # global list starts with process 0's devices, and materializing on
+        # another process's (non-addressable) device wedges the first
+        # cross-process collective
+        host = jax.local_devices(backend="cpu")[0]
     except RuntimeError:  # CPU backend disabled: materialize on the default
         host = None
 

@@ -8,7 +8,8 @@ device:
 
   volume (one h2d) → [fori_loop: gather window batch → hybrid forward →
   softmax → edge-drop → weighted accumulate] → overlap-average →
-  threshold → packed uint8 labelmask (one d2h)  — or scalar stats only.
+  threshold → z-cropped 2-bit-packed labelmask (one small d2h; lossless —
+  labels are {0,1,3}) — or scalar stats only.
 
 Static shapes: volumes are z-padded to buckets (multiples of `z_bucket`) and
 the window-batch grid is padded with weight-0 windows, so one compiled
@@ -92,7 +93,7 @@ def _batch_loop(n_batches, body, init, starts, weights, unroll):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "output",
-        "mesh", "pad_to", "unroll", "layout3d", "stem_s2d",
+        "mesh", "pad_to", "unroll", "layout3d", "stem_s2d", "pack_z",
     ),
 )
 def _score_volume(
@@ -114,14 +115,16 @@ def _score_volume(
     unroll: int = 1,
     layout3d: str = "hwdc",
     stem_s2d: bool = False,
+    pack_z: int | None = None,
 ):
     """vol: (X, Y, Zwire) mean-subtracted (zero-padded on device to
     ``pad_to``); starts/weights: (n_batches, wb).
 
     ``output`` selects what the single compiled program returns — 'probs'
     (X, Y, Zpad, C) averaged probabilities, 'packed' thresholded uint8 mask,
-    or 'digest' 3 scalars — so thresholding/digesting costs no extra jit
-    dispatch (each dispatch round-trips the host link).
+    'packed2' the same mask 2-bit-packed and z-cropped to ``pack_z``
+    (4x less d2h), or 'digest' 3 scalars — so thresholding/packing/digesting
+    costs no extra jit dispatch (each dispatch round-trips the host link).
     """
     vol = _pad_vol(vol, pad_to)
     x, y, zp = vol.shape
@@ -168,8 +171,11 @@ def _score_volume(
         n_batches, body, (score0, count0), starts, weights, unroll
     )
     score = score / (count[None, None, :, None] + 1e-4)  # funcs.py:48
-    if output == "packed":
-        return _pack_labels(score, thresholds[0], thresholds[1], num_classes=num_classes)
+    if output in ("packed", "packed2"):
+        mask = _pack_labels(
+            score, thresholds[0], thresholds[1], num_classes=num_classes
+        )
+        return _pack2bits(mask, pack_z=pack_z) if output == "packed2" else mask
     if output == "digest":
         return _summarize(score)
     return score
@@ -181,6 +187,33 @@ def _pack_labels(score, thres_liver, thres_tumor, *, num_classes: int = 3):
     liver = score[..., num_classes - 2] >= thres_liver
     tumor = score[..., num_classes - 1] >= thres_tumor
     return (liver | tumor).astype(jnp.uint8) + 2 * tumor.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("pack_z",))
+def _pack2bits(mask, *, pack_z: int | None = None):
+    """uint8 labelmask {0,1,3} -> 2-bit wire: 4 z-voxels per byte.
+
+    The mask's value set is exactly 2 bits wide (bit0 liver-or-tumor, bit1
+    tumor), so packing is lossless; it shrinks the labelmask d2h 4x — the
+    dominant serving cost through thin host links. ``pack_z`` additionally
+    crops the z axis to the wire bucket before packing (the score buffer's
+    z-bucket padding is background by construction). Inverse: _unpack2bits.
+    """
+    if pack_z is not None:
+        mask = mask[:, :, :pack_z]
+    x, y, z = mask.shape
+    assert z % 4 == 0, z
+    m = mask.reshape(x, y, z // 4, 4).astype(jnp.uint8)
+    return m[..., 0] + 4 * m[..., 1] + 16 * m[..., 2] + 64 * m[..., 3]
+
+
+def _unpack2bits(buf: np.ndarray) -> np.ndarray:
+    """Host-side inverse of _pack2bits: (x, y, zq) uint8 -> (x, y, 4*zq)."""
+    x, y, q = buf.shape
+    out = np.empty((x, y, 4 * q), np.uint8)
+    for i in range(4):
+        out[:, :, i::4] = (buf >> (2 * i)) & 3
+    return out
 
 
 @jax.jit
@@ -327,6 +360,7 @@ class DeviceVolumeScorer:
         p = self.plan(vol.shape, mini_z, maxi_z)
         z_lo, z, zp = p["z_lo"], p["z"], p["zp"]
         zw = min(zp, -(-z // self._WIRE_BUCKET) * self._WIRE_BUCKET)
+        p["zw"] = zw
         vol_p = np.zeros((x0, y0, zw), np.float32)
         vol_p[:, :, :z] = vol[:, :, z_lo : z_lo + z]
         # cast host-side so the wire carries the compute dtype (bf16 = half
@@ -362,6 +396,8 @@ class DeviceVolumeScorer:
             unroll=max(1, int(getattr(self.cfg, "batch_unroll", 1))),
             **common,
         )
+        if output == "packed2":
+            kw["pack_z"] = p["zw"]
         if p["dedup"]:
             kw["stride"] = self.cfg.window_stride
         return kernel, arrays, kw, p
@@ -481,8 +517,52 @@ class DeviceVolumeScorer:
 
     def labelmask(self, vol: np.ndarray, mini_z: int, maxi_z: int):
         """uint8 (X,Y,Z): bit0 = liver-or-tumor, bit1 = tumor. ONE small d2h,
-        ONE dispatch (thresholding fused into the scoring program)."""
-        return np.asarray(self.score(vol, mini_z, maxi_z, output="packed"))
+        ONE dispatch (thresholding — and, at the default ``wire_bits=2``,
+        2-bit packing — fused into the scoring program)."""
+        return self.labelmask_collect(self.labelmask_async(vol, mini_z, maxi_z))
+
+    def labelmask_async(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """Upload + enqueue one volume's scoring program; defer all d2h.
+
+        Returns an opaque handle for :meth:`labelmask_collect`. JAX dispatch
+        is asynchronous, so the caller can overlap the next volume's h2d +
+        dispatch with this one's device execution (predict_directory's
+        pipelined serving loop). The mask crosses the link z-cropped to the
+        scored range and — at ``InferConfig.wire_bits=2`` (default) — 2-bit
+        packed (labels are {0,1,3}: lossless), 4x less d2h than the plain
+        uint8 wire; the full-extent restore happens on host in collect.
+        """
+        x0, y0, z_full = vol.shape
+        bits = int(getattr(self.cfg, "wire_bits", 2))
+        output = "packed2" if bits == 2 else "packed"
+        kernel, arrays, kw, p = self._args(vol, mini_z, maxi_z, output)
+        if self.shared_2d:
+            # the shared-2D kernel always emits the probs buffer; threshold +
+            # pack ride two more (cheap, device-side) dispatches
+            mask = _pack_labels(
+                kernel(*arrays, **kw),
+                jnp.float32(self.cfg.thres_liver),
+                jnp.float32(self.cfg.thres_tumor),
+                num_classes=self.num_classes,
+            )
+            out = _pack2bits(mask, pack_z=p["zw"]) if bits == 2 else mask
+        else:
+            out = kernel(*arrays, **kw)
+        return out, dict(
+            bits=bits, x0=x0, y0=y0, z=p["z"], z_lo=p["z_lo"], z_full=z_full
+        )
+
+    def labelmask_collect(self, handle) -> np.ndarray:
+        """Fetch a labelmask_async handle -> uint8 (X, Y, Z) labelmask."""
+        dev, m = handle
+        buf = np.asarray(dev)
+        if m["bits"] == 2:
+            buf = _unpack2bits(buf)
+        out = np.zeros((m["x0"], m["y0"], m["z_full"]), np.uint8)
+        out[:, :, m["z_lo"] : m["z_lo"] + m["z"]] = buf[
+            : m["x0"], : m["y0"], : m["z"]
+        ]
+        return out
 
     def summarize(self, vol: np.ndarray, mini_z: int, maxi_z: int):
         """Scalar digest only — for benchmarking through thin host links."""
@@ -828,7 +908,7 @@ def make_grid_structured(starts_list: list[int], wb: int, stride: int):
     jax.jit,
     static_argnames=(
         "arch", "preset", "compute_dtype", "num_classes", "cols", "stride",
-        "output", "mesh", "pad_to", "unroll", "layout3d", "stem_s2d",
+        "output", "mesh", "pad_to", "unroll", "layout3d", "stem_s2d", "pack_z",
     ),
 )
 def _score_volume_dedup2d(
@@ -851,6 +931,7 @@ def _score_volume_dedup2d(
     unroll: int = 1,
     layout3d: str = "hwdc",
     stem_s2d: bool = False,
+    pack_z: int | None = None,
 ):
     """Exact scoring with in-batch 2D dedup over stride-aligned window runs.
 
@@ -959,8 +1040,11 @@ def _score_volume_dedup2d(
         n_batches, body, (score0, count0), starts, weights, unroll
     )
     score = score / (count[None, None, :, None] + 1e-4)
-    if output == "packed":
-        return _pack_labels(score, thresholds[0], thresholds[1], num_classes=num_classes)
+    if output in ("packed", "packed2"):
+        mask = _pack_labels(
+            score, thresholds[0], thresholds[1], num_classes=num_classes
+        )
+        return _pack2bits(mask, pack_z=pack_z) if output == "packed2" else mask
     if output == "digest":
         return _summarize(score)
     return score

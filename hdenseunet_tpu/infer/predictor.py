@@ -64,8 +64,8 @@ class VolumePredictor:
         img = np.asarray(vol, np.float32) - icfg.mean  # test.py:55
         mask, z_lo, z_hi = postprocess.liver_mask_extent(ext_liver_mask)
         if icfg.device_resident:
-            packed_dev = self.windows.score(img, z_lo, z_hi, output="packed")
-            return ("packed", packed_dev, mask)
+            handle = self.windows.labelmask_async(img, z_lo, z_hi)
+            return ("packed", handle, mask)
         liver_prob, tumor_prob = self.windows.predict_volume(img, z_lo, z_hi)
         return ("probs", (liver_prob, tumor_prob), mask)
 
@@ -74,7 +74,7 @@ class VolumePredictor:
         kind, payload, mask = handle
         icfg = self.cfg.infer
         if kind == "packed":
-            packed = np.asarray(payload)
+            packed = self.windows.labelmask_collect(payload)
             return postprocess.compose_from_masks(packed >= 1, packed >= 3, mask)
         liver_prob, tumor_prob = payload
         return postprocess.compose_labelmap(

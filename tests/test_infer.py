@@ -581,3 +581,47 @@ def test_wire_zcrop_matches_full_pad(tiny_hybrid):
     l_h, t_h = host.predict_volume(vol, 30, 50)
     np.testing.assert_allclose(l_d, l_h, atol=1e-5)
     np.testing.assert_allclose(t_d, t_h, atol=1e-5)
+
+
+def test_wire_bits2_labelmask_byte_identical(tiny_hybrid):
+    """The 2-bit packed labelmask wire (InferConfig.wire_bits=2, default) must
+    unpack to the exact uint8 labelmask of the plain wire — for the default
+    kernel, the no-dedup kernel, and the shared-2D path — including the
+    host-side z-crop restore (labelmask_async/labelmask_collect)."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    params, bn_state = tiny_hybrid
+    rng = np.random.default_rng(23)
+    vol = rng.normal(0, 50, (32, 32, 30)).astype(np.float32)
+
+    def run(bits, **cfg_kw):
+        cfg = InferConfig(
+            input_size=32, input_cols=8, window_batch=2, wire_bits=bits, **cfg_kw
+        )
+        s = DeviceVolumeScorer(params, bn_state, cfg, preset="tiny")
+        return s.labelmask(vol, 3, 27)
+
+    for kw in ({}, {"dedup_2d": False}, {"shared_2d": True}):
+        a, b = run(2, **kw), run(8, **kw)
+        assert a.dtype == np.uint8 and a.shape == vol.shape
+        np.testing.assert_array_equal(a, b, err_msg=str(kw))
+    # and against the legacy score(output='packed') device-restore path
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer as DVS
+
+    cfg = InferConfig(input_size=32, input_cols=8, window_batch=2)
+    s = DVS(params, bn_state, cfg, preset="tiny")
+    legacy = np.asarray(s.score(vol, 3, 27, output="packed"))
+    np.testing.assert_array_equal(run(2), legacy)
+
+
+def test_pack2bits_roundtrip():
+    """_pack2bits ∘ _unpack2bits is the identity on {0,1,3} masks, with and
+    without the z-crop."""
+    from hdenseunet_tpu.infer.device_pipeline import _pack2bits, _unpack2bits
+
+    rng = np.random.default_rng(5)
+    mask = rng.choice(np.array([0, 1, 3], np.uint8), size=(6, 7, 16))
+    got = _unpack2bits(np.asarray(_pack2bits(jax.numpy.asarray(mask))))
+    np.testing.assert_array_equal(got, mask)
+    got = _unpack2bits(np.asarray(_pack2bits(jax.numpy.asarray(mask), pack_z=8)))
+    np.testing.assert_array_equal(got, mask[:, :, :8])
