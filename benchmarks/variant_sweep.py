@@ -77,14 +77,19 @@ def main():
 
     rng = np.random.default_rng(0)
     vol = rng.normal(0.0, 50.0, (size, size, z)).astype(np.float32)
-    mini_z, maxi_z = 10, z - 15  # liver z-range; margins -5/+10 like funcs.py
+    # liver z-range: same fractions bench.py times, so s/vol here is directly
+    # comparable to the headline's compute_s_per_volume
+    mini_z, maxi_z = int(z * 0.2), int(z * 0.8)
 
     results = {}
     for name in args.variants.split(","):
         over = VARIANTS[name]
         cfg = InferConfig(input_size=size, input_cols=cols, **over)
+        # match bench.py's production configuration exactly (f32 scoring at
+        # 512^2 x wb=8 OOMs a v5e-1; the headline runs bf16 + 64-slice buckets)
         scorer = DeviceVolumeScorer(
-            params, bn_state, cfg, arch="end2end", preset=args.preset
+            params, bn_state, cfg, arch="end2end", preset=args.preset,
+            compute_dtype="bfloat16", z_bucket=64,
         )
         t0 = time.perf_counter()
         d = scorer.compute_seconds(
