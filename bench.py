@@ -30,6 +30,11 @@ trainer.make_multi_step), per-step time = slope between k=4 and k=12
 programs — dispatch latency cancels exactly as in the inference compute
 metric.
 
+``h2d_s``/``dispatch_s`` attribute the gap between ``value`` and
+``compute_s_per_volume``: a timed device_put of a buffer with the wire's
+exact shape/dtype, and a timed no-op dispatch round-trip — so
+value ~= compute + h2d + dispatch is checkable per round.
+
 Baseline: the reference repo publishes no timing (SURVEY.md §6). The paper
 behind it (TMI 2018, linked at reference README.md:6) reports end-to-end
 inference on the order of 10^2 s/volume on a Titan Xp; BASELINE.md fixes the
@@ -220,6 +225,37 @@ def main():
             "compute_spread": round((max(sl) - min(sl)) / max(min(sl), 1e-9), 3),
         }
 
+    # Attribution of the end-to-end headline (value ~= compute + h2d +
+    # dispatch, checkable per round): time the h2d of a buffer with the wire's
+    # exact shape/dtype, and one no-op dispatch round-trip. Each timed region
+    # necessarily includes one dispatch+scalar-fetch to sync, so h2d_s
+    # overstates the pure copy by ~dispatch_s.
+    import jax.numpy as jnp
+
+    p = scorer.plan(vol.shape, mini_z, maxi_z)
+    zw = min(p["zp"], -(-p["z"] // scorer._WIRE_BUCKET) * scorer._WIRE_BUCKET)
+    host_wire = np.zeros((size, size, zw), np.float32).astype(jnp.dtype("bfloat16"))
+    noop = jax.jit(lambda s: s * 1.0000001)
+    s0 = jnp.float32(1.0)
+    float(noop(s0))  # compile
+
+    def t_dispatch():
+        t0 = time.perf_counter()
+        float(noop(s0))
+        return time.perf_counter() - t0
+
+    def t_h2d():
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_wire)
+        float(jnp.asarray(dev[0, 0, 0]))  # force the copy to complete
+        return time.perf_counter() - t0
+
+    attrib = {
+        "dispatch_s": round(min(t_dispatch() for _ in range(3)), 3),
+        "h2d_s": round(min(t_h2d() for _ in range(3)), 3),
+        "wire_mb": round(host_wire.nbytes / 1e6, 1),
+    }
+
     # MFU: analytic conv FLOPs the compiled program executes (incl. weight-0
     # padding windows) / time / chip bf16 peak — the perf-regression metric
     # the latency headline alone can't provide through +-40% tunnel noise
@@ -242,6 +278,7 @@ def main():
                 "achieved_tflops": round(flops / dt / 1e12, 2),
                 "mfu": round(flops / dt / peak, 4),
                 **compute_metrics,
+                **attrib,
                 **train_metrics,
             }
         )

@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--preset", default="full")
     ap.add_argument("--reps", type=int, default=2)
+    # slope endpoints: wider spacing divides relay noise by (k_big - k_small);
+    # k_big=5 puts ~3 volumes of extra on-chip work between the endpoints
+    ap.add_argument("--k-small", type=int, default=1)
+    ap.add_argument("--k-big", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (script smoke test)")
     args = ap.parse_args()
 
@@ -93,7 +97,8 @@ def main():
         )
         t0 = time.perf_counter()
         d = scorer.compute_seconds(
-            vol, mini_z, maxi_z, reps=args.reps, detail=True
+            vol, mini_z, maxi_z, reps=args.reps, detail=True,
+            k_small=args.k_small, k_big=args.k_big,
         )
         wall = time.perf_counter() - t0
         results[name] = d["seconds"]

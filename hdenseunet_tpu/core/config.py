@@ -81,6 +81,12 @@ class TrainConfig:
     checkpoint_every_steps: int = 1000
     seed: int = 0
     remat: bool = True  # jax.checkpoint on dense blocks to fit HBM
+    # remat granularity when remat=True: 'full' saves nothing inside each
+    # conv block (max memory win, ~1 extra forward per block); 'convs' saves
+    # the conv outputs and recomputes only the elementwise BN/Scale/ReLU
+    # chains (most of the memory win, a fraction of the recompute —
+    # benchmarks/train_attrib.py records the measured trade)
+    remat_policy: str = "full"
     log_every_steps: int = 20
     # optimizer steps executed per device dispatch (lax.scan over stacked
     # batches); >1 amortizes per-dispatch host latency on high-latency links

@@ -62,6 +62,7 @@ class Ctx:
         compute_dtype=jnp.float32,
         param_dtype=jnp.float32,
         remat: bool = False,
+        remat_policy: str = "full",
     ):
         self.params = params if params is not None else {}
         self.state = state if state is not None else {}
@@ -72,8 +73,15 @@ class Ctx:
         self.compute_dtype = compute_dtype
         self.param_dtype = param_dtype
         # rematerialize checkpoint-wrapped blocks during backward (set by the
-        # trainer from TrainConfig.remat; no-op outside grad transforms)
+        # trainer from TrainConfig.remat; no-op outside grad transforms).
+        # remat_policy: 'full' = save nothing inside the block (max memory
+        # win, ~1 extra forward); 'convs' = save conv outputs (the MXU work)
+        # and recompute only the elementwise BN/Scale/ReLU chains — most of
+        # the memory win at a fraction of the recompute cost (the saved
+        # tensors are the narrow conv outputs; the recomputed ones are the
+        # wide concat-width elementwise intermediates).
         self.remat = remat
+        self.remat_policy = remat_policy
         self.param_specs: dict[str, dict[str, ParamSpec]] = {}
         self.state_specs: dict[str, dict[str, tuple]] = {}
         self.new_state: dict[str, dict[str, jnp.ndarray]] = {}
@@ -210,6 +218,15 @@ def maybe_remat(ctx: "Ctx", fn: Callable, x):
         )
         y = fn(sub, x)
         return y, sub.new_state
+
+    if getattr(ctx, "remat_policy", "full") == "convs":
+        # selective: conv outputs (tagged 'conv_out' in layers.conv) are
+        # saved as residuals; only the elementwise chains recompute
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+        y, new_state = jax.checkpoint(inner, policy=policy)(x)
+        for name, leaves in new_state.items():
+            ctx.new_state.setdefault(name, {}).update(leaves)
+        return y
 
     y, new_state = jax.checkpoint(inner)(x)
     for name, leaves in new_state.items():

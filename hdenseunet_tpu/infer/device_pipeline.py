@@ -293,8 +293,11 @@ class DeviceVolumeScorer:
             and self.cfg.window_stride > 0
         )
         if dedup:
+            # cap = the z-bucket's theoretical run ceiling: every on-grid run
+            # plus the possible off-grid (clamped final start) run
+            cap = -(-plan_windows(zp, self.cfg) // wb) + 1
             starts, weights = make_grid_structured(
-                starts_list, wb, self.cfg.window_stride
+                starts_list, wb, self.cfg.window_stride, max_runs=cap
             )
         else:
             # batch count sized to the ACTUAL liver z-range, rounded up to a
@@ -856,7 +859,13 @@ def _score_volume_shared2d(
 # ---------------------------------------------------------------------------
 
 
-def make_grid_structured(starts_list: list[int], wb: int, stride: int):
+def make_grid_structured(
+    starts_list: list[int],
+    wb: int,
+    stride: int,
+    run_bucket: int = 4,
+    max_runs: int | None = None,
+):
     """(starts, weights) with EVERY batch an arithmetic run s0, s0+stride, ...
 
     Consecutive stride-aligned windows let the scoring kernel share interior
@@ -867,6 +876,14 @@ def make_grid_structured(starts_list: list[int], wb: int, stride: int):
     * the reference's clamped final start (z-cols) can be off-grid
       (funcs.py:26-28) — it gets its own right-aligned run.
     Weights carry each unique start's multiplicity exactly once.
+
+    The emitted run count pads up to a multiple of ``run_bucket`` with
+    all-weight-0 copies of the first run (capped at ``max_runs``, the
+    z-bucket's theoretical ceiling) so ``starts.shape`` — and therefore the
+    compiled program — doesn't change every time a volume's liver z-extent
+    crosses a wb*stride boundary; one program serves every volume whose
+    padded run count lands in the same bucket (mirrors make_grid's batch-count
+    bucketing on the non-dedup path).
     """
     uniq = sorted(set(starts_list))
     mult = {s: starts_list.count(s) for s in uniq}
@@ -890,6 +907,14 @@ def make_grid_structured(starts_list: list[int], wb: int, stride: int):
     emit(on_grid)
     if off_grid:
         emit(off_grid)
+
+    # pad the run count to its bucket with weight-0 duplicates of run 0
+    # (valid in-bounds starts; zero weight = no effect on the accumulators)
+    n_runs = -(-len(runs) // run_bucket) * run_bucket
+    if max_runs is not None:
+        n_runs = min(n_runs, max(max_runs, len(runs)))
+    while len(runs) < n_runs:
+        runs.append(list(runs[0]))
 
     starts = np.zeros((len(runs), wb), np.int32)
     weights = np.zeros((len(runs), wb), np.float32)

@@ -10,8 +10,8 @@ the '3dpart' arch) the TPU way:
   per-element batch slicing + transpose Lambdas that only work for batch 1
   (hybridnet.py:359-364 `slice2d`). Here both directions are single
   gather/reshape/transpose expressions inside one jit, valid for any batch.
-* The 2D logits are amplified x250 and concatenated with the raw volume as a
-  2-channel 3D input (hybridnet.py:409-411); the 3D branch output feature map
+* The 2D logits (3 class channels) are amplified x250 and concatenated with
+  the raw volume as a 4-channel 3D input (hybridnet.py:409-411); the 3D branch output feature map
   is fused additively with the z-stacked 2D features, then
   Conv3D(64) -> Dropout -> BN -> ReLU -> 1x1x1 Conv(3) '2d3dclassifer'
   (hybridnet.py:414-419). Dropout is 0.3 for end2end (hybridnet.py:416) and

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
+from jax import ad_checkpoint, lax
 
 from ..core.module import Ctx
 
@@ -117,7 +117,11 @@ def conv(
     if use_bias:
         b = ctx.param(name, "bias", (features,), "zeros")
         y = y + b.astype(y.dtype)
-    return y
+    # offerable residual for the selective remat policy
+    # (TrainConfig.remat_policy='convs', core.module.maybe_remat): identity
+    # outside jax.checkpoint; under the policy, conv outputs are saved and
+    # only the elementwise chains rematerialize.
+    return ad_checkpoint.checkpoint_name(y, "conv_out")
 
 
 def conv2d(ctx, x, name, features, kernel, **kw):

@@ -90,6 +90,7 @@ def _forward_loss(params, bn_state, batch, rng, *, arch, cfg: Config, train=True
         rng=rng,
         compute_dtype=dtype,
         remat=cfg.train.remat and train,
+        remat_policy=getattr(cfg.train, "remat_policy", "full"),
     )
     image = batch["image"].astype(dtype)
     if arch == "2d":

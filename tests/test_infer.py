@@ -442,6 +442,38 @@ def test_make_grid_structured_invariants():
         assert st.min() >= 0
 
 
+def test_dedup_grid_run_count_bucketed():
+    """Two volumes in the same (x, y, z-bucket) whose liver z-extents differ
+    by more than wb*stride slices must still produce identical
+    `starts.shape`: the dedup grid pads its run count to a bucket of 4
+    weight-0 runs, so the DEFAULT serving path compiles once per shape
+    bucket instead of once per liver extent."""
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    cfg = InferConfig(input_size=512, input_cols=8, window_batch=8)
+    sc = DeviceVolumeScorer(None, None, cfg)  # plan() never touches params
+    shape = (512, 512, 192)
+    # liver extents 20 vs 40 slices (> wb*stride = 16 apart), both in zp=64
+    pa = sc.plan(shape, 40, 60)
+    pb = sc.plan(shape, 20, 60)
+    assert pa["zp"] == pb["zp"] == 64
+    assert pa["starts"].shape == pb["starts"].shape
+    assert pa["starts"].shape[0] % 4 == 0
+    # weight-0 padding runs change nothing: multiplicities intact
+    for p, (lo, hi) in ((pa, (40, 60)), (pb, (20, 60))):
+        from hdenseunet_tpu.infer.sliding_window import window_starts
+
+        sl = window_starts(shape[2], lo, hi, cfg)
+        got = {}
+        for r in range(p["starts"].shape[0]):
+            for j in range(p["starts"].shape[1]):
+                s = int(p["starts"][r, j])
+                got[s] = got.get(s, 0) + p["weights"][r, j]
+        assert {k: v for k, v in got.items() if v} == {
+            s - min(sl): float(sl.count(s)) for s in set(sl)
+        }
+
+
 def test_batch_unroll_identical_labelmask(tiny_hybrid):
     """batch_unroll > 1 (lax.scan-unrolled window-batch loop) must be
     byte-identical to the serial fori_loop path — it only reorders

@@ -205,6 +205,46 @@ def test_remat_preserves_value_and_grad():
     )
 
 
+def test_remat_policy_convs_preserves_value_and_grad():
+    """Selective remat (remat_policy='convs': conv outputs saved, elementwise
+    chains recomputed) must match no-remat loss, grads, and BN updates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hdenseunet_tpu.core.module import Ctx
+    from hdenseunet_tpu.models import denseunet2d
+
+    TINY = denseunet2d.PRESETS["tiny"]
+    params, state = denseunet2d.init(jax.random.key(0), input_size=32, **TINY)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+
+    def loss_fn(p, remat, policy):
+        ctx = Ctx(
+            p, state, train=True, rng=jax.random.key(1), remat=remat,
+            remat_policy=policy,
+        )
+        _, logits = denseunet2d.apply(ctx, x, decoder_dropout=0.0, **TINY)
+        return jnp.sum(logits**2) / logits.size, ctx.new_state
+
+    (v0, ns0), g0 = jax.value_and_grad(
+        lambda p: loss_fn(p, False, "full"), has_aux=True
+    )(params)
+    (v1, ns1), g1 = jax.value_and_grad(
+        lambda p: loss_fn(p, True, "convs"), has_aux=True
+    )(params)
+    assert float(v0) == float(v1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5), g0, g1
+    )
+    assert set(ns0) == set(ns1) and len(ns1) > 0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), ns0, ns1
+    )
+
+
 def test_multi_step_matches_sequential_steps():
     """K scanned steps per dispatch == K sequential single-step dispatches."""
     import jax
