@@ -90,16 +90,23 @@ def main():
         over = VARIANTS[name]
         cfg = InferConfig(input_size=size, input_cols=cols, **over)
         # match bench.py's production configuration exactly (f32 scoring at
-        # 512^2 x wb=8 OOMs a v5e-1; the headline runs bf16 + 64-slice buckets)
+        # 512^2 x wb=8 OOMs a v5e-1; the headline runs bf16 + 64-slice
+        # buckets — z_bucket=64 pins that even if the library default moves)
         scorer = DeviceVolumeScorer(
             params, bn_state, cfg, arch="end2end", preset=args.preset,
             compute_dtype="bfloat16", z_bucket=64,
         )
         t0 = time.perf_counter()
-        d = scorer.compute_seconds(
-            vol, mini_z, maxi_z, reps=args.reps, detail=True,
-            k_small=args.k_small, k_big=args.k_big,
-        )
+        try:
+            d = scorer.compute_seconds(
+                vol, mini_z, maxi_z, reps=args.reps, detail=True,
+                k_small=args.k_small, k_big=args.k_big,
+            )
+        except Exception as e:  # e.g. wb12/wb16 HBM OOM — record, keep sweeping
+            msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+            print(f"{name:10s} FAILED after {time.perf_counter() - t0:.0f}s: "
+                  f"{msg[:160]}", flush=True)
+            continue
         wall = time.perf_counter() - t0
         results[name] = d["seconds"]
         print(
