@@ -59,6 +59,12 @@ def main():
     ap.add_argument("--k-small", type=int, default=1)
     ap.add_argument("--k-big", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (script smoke test)")
+    ap.add_argument(
+        "--interleave", action="store_true",
+        help="compile every variant first, then round-robin the timed reps "
+        "across variants so each samples the same relay weather (the "
+        "sequential default confounds variant order with weather drift)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -85,37 +91,74 @@ def main():
     # comparable to the headline's compute_s_per_volume
     mini_z, maxi_z = int(z * 0.2), int(z * 0.8)
 
-    results = {}
-    for name in args.variants.split(","):
+    def make_scorer(name):
         over = VARIANTS[name]
         cfg = InferConfig(input_size=size, input_cols=cols, **over)
         # match bench.py's production configuration exactly (f32 scoring at
         # 512^2 x wb=8 OOMs a v5e-1; the headline runs bf16 + 64-slice
         # buckets — z_bucket=64 pins that even if the library default moves)
-        scorer = DeviceVolumeScorer(
+        return DeviceVolumeScorer(
             params, bn_state, cfg, arch="end2end", preset=args.preset,
             compute_dtype="bfloat16", z_bucket=64,
         )
-        t0 = time.perf_counter()
-        try:
-            d = scorer.compute_seconds(
-                vol, mini_z, maxi_z, reps=args.reps, detail=True,
-                k_small=args.k_small, k_big=args.k_big,
+
+    results = {}
+    if args.interleave:
+        timers = {}
+        for name in args.variants.split(","):
+            scorer = make_scorer(name)
+            t0 = time.perf_counter()
+            try:
+                timed = scorer.compute_timer(vol, mini_z, maxi_z)
+                timed(args.k_small), timed(args.k_big)  # compile + warm
+            except Exception as e:  # e.g. wb12/wb16 HBM OOM — record, keep going
+                msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+                print(f"{name:10s} FAILED after {time.perf_counter() - t0:.0f}s: "
+                      f"{msg[:160]}", flush=True)
+                continue
+            timers[name] = timed
+            print(f"{name:10s} compiled+warm in {time.perf_counter() - t0:.0f}s",
+                  flush=True)
+        t_small = {n: [] for n in timers}
+        t_big = {n: [] for n in timers}
+        for rep in range(args.reps):
+            for n, timed in timers.items():
+                t_small[n].append(timed(args.k_small))
+            for n, timed in timers.items():
+                t_big[n].append(timed(args.k_big))
+            print(f"rep {rep}: " + "  ".join(
+                f"{n}: t{args.k_small}={t_small[n][-1]:.2f} "
+                f"t{args.k_big}={t_big[n][-1]:.2f}" for n in timers), flush=True)
+        for n in timers:
+            s = (min(t_big[n]) - min(t_small[n])) / (args.k_big - args.k_small)
+            results[n] = s
+            print(f"{n:10s} compute_s/vol={s:7.3f}  "
+                  f"t{args.k_small}={['%.2f' % t for t in sorted(t_small[n])]} "
+                  f"t{args.k_big}={['%.2f' % t for t in sorted(t_big[n])]}",
+                  flush=True)
+    else:
+        for name in args.variants.split(","):
+            scorer = make_scorer(name)
+            t0 = time.perf_counter()
+            try:
+                d = scorer.compute_seconds(
+                    vol, mini_z, maxi_z, reps=args.reps, detail=True,
+                    k_small=args.k_small, k_big=args.k_big,
+                )
+            except Exception as e:  # e.g. wb12/wb16 HBM OOM — record, keep sweeping
+                msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+                print(f"{name:10s} FAILED after {time.perf_counter() - t0:.0f}s: "
+                      f"{msg[:160]}", flush=True)
+                continue
+            wall = time.perf_counter() - t0
+            results[name] = d["seconds"]
+            print(
+                f"{name:10s} compute_s/vol={d['seconds']:7.3f}  "
+                f"slopes={['%.3f' % s for s in d['slopes']]}  "
+                f"t1={['%.2f' % t for t in d['t_small']]} "
+                f"t3={['%.2f' % t for t in d['t_big']]}  wall={wall:.0f}s",
+                flush=True,
             )
-        except Exception as e:  # e.g. wb12/wb16 HBM OOM — record, keep sweeping
-            msg = str(e).splitlines()[0] if str(e) else type(e).__name__
-            print(f"{name:10s} FAILED after {time.perf_counter() - t0:.0f}s: "
-                  f"{msg[:160]}", flush=True)
-            continue
-        wall = time.perf_counter() - t0
-        results[name] = d["seconds"]
-        print(
-            f"{name:10s} compute_s/vol={d['seconds']:7.3f}  "
-            f"slopes={['%.3f' % s for s in d['slopes']]}  "
-            f"t1={['%.2f' % t for t in d['t_small']]} "
-            f"t3={['%.2f' % t for t in d['t_big']]}  wall={wall:.0f}s",
-            flush=True,
-        )
 
     base = results.get("base")
     if base:

@@ -148,8 +148,11 @@ class InferConfig:
     # stride-1 4^3 conv over the 2^3 parity subgrids stacked into channels —
     # same MAC set, measured 5.9x faster at the real stem shape (the Cin=4
     # input starves the MXU contraction otherwise). Exact modulo
-    # float-summation order; parity-tested in tests/test_models.py.
-    stem_s2d: bool = False
+    # float-summation order; parity-tested in tests/test_models.py. Default ON
+    # since round 4: the per-op win is unambiguous and the round-4 model-level
+    # interleaved A/B measured it <= base at every quantile (BENCH_NOTES.md
+    # "Round-4 model-level verdict").
+    stem_s2d: bool = True
     # labelmask wire width: 2 = z-cropped 2-bit-packed mask d2h (labels are
     # {0,1,3} — lossless, 4x+ fewer bytes than uint8, packing fused into the
     # scoring program); 8 = plain uint8 mask. Byte-identical labelmaps.

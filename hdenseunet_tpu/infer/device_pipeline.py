@@ -434,29 +434,15 @@ class DeviceVolumeScorer:
             return out
         return self._restore_z(out[:x0, :y0, :z], z_lo, z_full)
 
-    def compute_seconds(
-        self,
-        vol: np.ndarray,
-        mini_z: int,
-        maxi_z: int,
-        *,
-        k_small: int = 1,
-        k_big: int = 3,
-        reps: int = 2,
-        detail: bool = False,
-    ):
-        """Relay-immune per-volume device compute seconds.
+    def compute_timer(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+        """``timed(k) -> wall seconds`` for k serving passes in ONE dispatch.
 
-        Runs the EXACT serving program k times inside ONE dispatch with a
-        loop-carried dependence (rep i+1's input volume depends on rep i's
-        digest, so XLA can neither hoist nor elide the repeated work — the
-        perturbation magnitude ~1e-36 rounds away against HU-scale voxels, so
-        numerics are unchanged) and returns the slope
-        (t(k_big) - t(k_small)) / (k_big - k_small), each endpoint min over
-        ``reps`` dispatches. Per-dispatch relay latency and the volume h2d
-        appear in BOTH endpoints and cancel in the slope — the protocol
-        benchmarks/profile_inference.py proved out per-op, applied to the
-        full serving program.
+        The building block of :meth:`compute_seconds`, exposed so external
+        harnesses (benchmarks/variant_sweep.py --interleave) can compile every
+        variant's programs up front and then round-robin the timed calls
+        across variants — sampling the same relay weather for each instead of
+        confounding variant order with weather drift. The first call at a
+        given ``k`` compiles; callers should warm every k they will time.
         """
         import time
 
@@ -486,6 +472,33 @@ class DeviceVolumeScorer:
             assert np.isfinite(val)
             return time.perf_counter() - t0
 
+        return timed
+
+    def compute_seconds(
+        self,
+        vol: np.ndarray,
+        mini_z: int,
+        maxi_z: int,
+        *,
+        k_small: int = 1,
+        k_big: int = 3,
+        reps: int = 2,
+        detail: bool = False,
+    ):
+        """Relay-immune per-volume device compute seconds.
+
+        Runs the EXACT serving program k times inside ONE dispatch with a
+        loop-carried dependence (rep i+1's input volume depends on rep i's
+        digest, so XLA can neither hoist nor elide the repeated work — the
+        perturbation magnitude ~1e-36 rounds away against HU-scale voxels, so
+        numerics are unchanged) and returns the slope
+        (t(k_big) - t(k_small)) / (k_big - k_small), each endpoint min over
+        ``reps`` dispatches. Per-dispatch relay latency and the volume h2d
+        appear in BOTH endpoints and cancel in the slope — the protocol
+        benchmarks/profile_inference.py proved out per-op, applied to the
+        full serving program.
+        """
+        timed = self.compute_timer(vol, mini_z, maxi_z)
         timed(k_small), timed(k_big)  # compile both programs
         t_small = sorted(timed(k_small) for _ in range(reps))
         t_big = sorted(timed(k_big) for _ in range(reps))
