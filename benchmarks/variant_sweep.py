@@ -4,13 +4,15 @@ Measures the full serving program (DeviceVolumeScorer.compute_seconds — the
 relay-immune loop-carried slope protocol, identical program to bench.py's
 compute metric) for each requested combination of the round-3 levers:
 
-  base      committed defaults (hwdc layout, direct stem, unroll 1)
+  base      committed defaults (hwdc layout, s2d stem since round 4, unroll 1)
+  direct    stem_s2d=False    (the pre-round-4 direct 7^3 stride-2 stem — the
+            adjudication baseline for any future stem A/B)
   dhwc      layout3d='dhwc'   (d-major 3D branch + HFF head, models/dmajor.py)
-  s2d       stem_s2d=True     (space-to-depth 7^3 stride-2 stem, models/s2d.py)
+  s2d       stem_s2d=True     (space-to-depth stem, models/s2d.py — identical
+            to `base` since the round-4 default flip; kept for A/A sanity)
   dhwc+s2d  both
   unroll2   batch_unroll=2    (window-batch lax.scan unroll — lets XLA overlap
             batch i+1's 2D encoder with batch i's 3D tail)
-  best+u2   winner-of-above + unroll 2
 
 All variants are bit-identical or exact-modulo-reassociation vs base (parity
 tests in tests/test_models.py / test_infer.py); this script only decides
@@ -33,6 +35,7 @@ import numpy as np
 
 VARIANTS = {
     "base": {},
+    "direct": {"stem_s2d": False},
     "dhwc": {"layout3d": "dhwc"},
     "s2d": {"stem_s2d": True},
     "dhwc+s2d": {"layout3d": "dhwc", "stem_s2d": True},
@@ -63,7 +66,11 @@ def main():
         "--interleave", action="store_true",
         help="compile every variant first, then round-robin the timed reps "
         "across variants so each samples the same relay weather (the "
-        "sequential default confounds variant order with weather drift)",
+        "sequential default confounds variant order with weather drift). "
+        "Caveat: every variant's device-resident params/wire copies and "
+        "compiled k-rep programs stay alive through the timed reps — extra "
+        "HBM pressure absent from production; keep variant sets small near "
+        "the wb=8 ceiling",
     )
     args = ap.parse_args()
 
@@ -106,9 +113,9 @@ def main():
     if args.interleave:
         timers = {}
         for name in args.variants.split(","):
-            scorer = make_scorer(name)
             t0 = time.perf_counter()
             try:
+                scorer = make_scorer(name)
                 timed = scorer.compute_timer(vol, mini_z, maxi_z)
                 timed(args.k_small), timed(args.k_big)  # compile + warm
             except Exception as e:  # e.g. wb12/wb16 HBM OOM — record, keep going
@@ -130,7 +137,12 @@ def main():
                 f"{n}: t{args.k_small}={t_small[n][-1]:.2f} "
                 f"t{args.k_big}={t_big[n][-1]:.2f}" for n in timers), flush=True)
         for n in timers:
-            s = (min(t_big[n]) - min(t_small[n])) / (args.k_big - args.k_small)
+            # clamp like DeviceVolumeScorer.compute_seconds: relay noise can
+            # push the raw slope <= 0, which would poison the ratio print
+            s = max(
+                (min(t_big[n]) - min(t_small[n])) / (args.k_big - args.k_small),
+                1e-9,
+            )
             results[n] = s
             print(f"{n:10s} compute_s/vol={s:7.3f}  "
                   f"t{args.k_small}={['%.2f' % t for t in sorted(t_small[n])]} "
@@ -161,7 +173,7 @@ def main():
             )
 
     base = results.get("base")
-    if base:
+    if base is not None and base > 1e-8:
         for name, s in results.items():
             print(f"{name:10s} {s:7.3f} s/vol  {base / s:5.2f}x vs base")
 
