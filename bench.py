@@ -41,7 +41,7 @@ the previous dispatch's TrainState, the reference's always-chained protocol
 20-step loop. train_mfu counts model FLOPs (fwd + 2x fwd for bwd; remat
 recompute is execution detail, not model work). ``train_compute_ms_per_step``
 is the relay-immune twin: K chained steps inside ONE dispatch (lax.scan,
-trainer.make_multi_step), slope between the k=4 and k=12 programs under the
+trainer.make_multi_step), slope between the k=4 and k=28 programs under the
 same hardened protocol.
 
 ``h2d_s``/``dispatch_s`` attribute the gap between ``value`` and
@@ -168,9 +168,13 @@ def measure_train(preset: str) -> dict:
     # Relay-immune compute number: K chained steps inside ONE dispatch
     # (lax.scan over a stacked batch, trainer.make_multi_step — numerically
     # identical to K sequential steps); per-step time is the slope between
-    # the k=4 and k=12 programs under the hardened interleaved protocol (see
-    # module docstring) — dispatch latency + h2d cancel in the slope.
-    k_small, k_big = 4, 12
+    # the k=4 and k=28 programs under the hardened interleaved protocol (see
+    # module docstring) — dispatch latency + h2d cancel in the slope. The
+    # span is 24 steps (~0.9 s of marginal on-chip work) because scan-program
+    # dispatches measured multi-second overheads on 2026-08-19; a span-8
+    # signal (~0.3 s) sat below that day's noise floor (scan compile time is
+    # k-independent — the body compiles once).
+    k_small, k_big = 4, 28
     stacked_sh = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data")
     )

@@ -40,8 +40,8 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--preset", default="full")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--target-s", type=float, default=1.5)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--target-s", type=float, default=4.0)
     ap.add_argument("--probes", default="fwd:none,fwdbwd:none,fwdbwd:full,fwdbwd:convs")
     ap.add_argument("--scopes", default="full,encoder")
     ap.add_argument("--cpu", action="store_true")
@@ -131,16 +131,31 @@ def main():
         return run
 
     def slope(f, k_small, k_big, reps):
+        # interleaved endpoints (round 5): both programs sample the same
+        # relay weather, slope from endpoint minima — sequential endpoints
+        # measured negative slopes through 2026-08-19's multi-second
+        # dispatch noise (see bench.hardened_slope)
         rs, rb = runner(f, k_small), runner(f, k_big)
         rs(), rb()  # compile + warm
-        ts = min(rs() for _ in range(reps))
-        tb = min(rb() for _ in range(reps))
-        return max((tb - ts) / (k_big - k_small), 1e-9)
+        ts, tb = [], []
+        for _ in range(reps):
+            ts.append(rs())
+            tb.append(rb())
+        return max((min(tb) - min(ts)) / (k_big - k_small), 1e-9)
 
     def slope_auto(f):
-        est = slope(f, 1, 8, 1)
-        per = max(est, 1e-4)
+        rs, rb = runner(f, 1), runner(f, 8)
+        rs(), rb()  # compile + warm
+        t1, t8 = rs(), rb()
+        per = max((t8 - t1) / 7, 1e-4)
         k_big = int(np.clip(np.ceil(args.target_s / per), 16, 4096))
+        # keep the big dispatch under ~80 s (a 130 s dispatch crashed the
+        # TPU worker, BENCH_NOTES round-4): bound with the amortized
+        # per-iteration time, which includes dispatch overhead and so
+        # over-estimates the true per-iteration cost — a safe cap even when
+        # the two-point estimate above is noise-floored
+        per_hi = max(t8 / 8.0, 1e-4)
+        k_big = min(k_big, max(16, int(80.0 / per_hi)))
         return slope(f, max(1, k_big // 8), k_big, args.reps)
 
     for scope in args.scopes.split(","):

@@ -52,6 +52,15 @@ def main():
     ap.add_argument("--k-big", type=int, default=12)
     ap.add_argument("--donate", action="store_true",
                     help="also probe donate_state=True variants")
+    ap.add_argument("--no-fixed", action="store_true",
+                    help="skip the fixed (unchained) protocol — measured "
+                    "pathological on the tunneled backend (2026-08-19: "
+                    "10.9 s/step; up to 20 independent full output "
+                    "TrainStates in flight thrash the allocator)")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="skip the scan-slope/scan-total protocols (the "
+                    "k=12 donate-variant compile crashed the TPU worker "
+                    "on 2026-08-19)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -126,7 +135,7 @@ def main():
 
             # --- fixed (unchained): needs donation OFF to reuse ts0 -------
             fixed = float("nan")
-            if not donate:
+            if not donate and not args.no_fixed:
                 sync(step(ts0, db)[1])  # compile
                 def loop_fixed():
                     t0 = time.perf_counter()
@@ -151,6 +160,15 @@ def main():
             del ts_c
 
             # --- scan slope + total ---------------------------------------
+            if args.no_scan:
+                rows.append((tag, fixed, chained, float("nan"), float("nan")))
+                print(
+                    f"{tag:12s} fixed={fixed * 1e3:7.1f}  "
+                    f"chained={chained * 1e3:7.1f} ms/step (scan skipped)",
+                    flush=True,
+                )
+                continue
+
             def run_k(k):
                 multi = trainer.make_multi_step(tx, cfg, mesh, "2d", k=k)
                 data = stacked(k)
