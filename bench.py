@@ -41,7 +41,7 @@ the previous dispatch's TrainState, the reference's always-chained protocol
 20-step loop. train_mfu counts model FLOPs (fwd + 2x fwd for bwd; remat
 recompute is execution detail, not model work). ``train_compute_ms_per_step``
 is the relay-immune twin: K chained steps inside ONE dispatch (lax.scan,
-trainer.make_multi_step), slope between the k=4 and k=28 programs under the
+trainer.make_multi_step), slope between the k=4 and k=64 programs under the
 same hardened protocol.
 
 ``h2d_s``/``dispatch_s`` attribute the gap between ``value`` and
@@ -68,6 +68,7 @@ Env knobs (local smoke runs off-TPU):
   BENCH_COMPUTE_REPS=8 timed reps per slope endpoint (interleaved)
   BENCH_TRAIN=1        also measure the chained train step (default on)
   BENCH_TRAIN_SLOPE_REPS=8  timed reps per train slope endpoint
+  BENCH_TRAIN_K_SMALL/K_BIG  train slope endpoints (default 4 / 64)
   BENCH_PIPELINE=1     also measure the pipelined multi-volume loop (default on)
   BENCH_PIPELINE_VOLUMES=3  volumes in the pipelined loop
   BENCH_UNROLL=N       window-batch loop unroll (default InferConfig default)
@@ -77,11 +78,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SEC_PER_VOLUME = 100.0
+
+
+def _note(msg: str) -> None:
+    """Progress marker on stderr (the driver records stdout only)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def hardened_slope(timed_small, timed_big, k_small: int, k_big: int, reps: int):
@@ -151,6 +158,7 @@ def measure_train(preset: str) -> dict:
     bsh = batch_sharding(mesh)
     db = {k: jax.device_put(v, bsh) for k, v in next(gen).items()}
 
+    _note("train: compiling chained step")
     _, loss = step(ts0, db)  # compile
     assert np.isfinite(float(np.asarray(loss).ravel()[-1]))
 
@@ -163,6 +171,7 @@ def measure_train(preset: str) -> dict:
         assert np.isfinite(final)
         return (time.perf_counter() - t0) / steps
 
+    _note("train: chained loops")
     dt = min(loop() for _ in range(reps))
 
     # Relay-immune compute number: K chained steps inside ONE dispatch
@@ -174,7 +183,17 @@ def measure_train(preset: str) -> dict:
     # dispatches measured multi-second overheads on 2026-08-19; a span-8
     # signal (~0.3 s) sat below that day's noise floor (scan compile time is
     # k-independent — the body compiles once).
-    k_small, k_big = 4, 28
+    # k=4 vs 64: 60 steps ≈ 2 s of marginal on-chip work. The span-24 run of
+    # 2026-08-19 came back non-monotone (t_small 5.03 > t_big 4.67 minima)
+    # under a ~5 s scan-dispatch floor — the guard correctly published
+    # train_compute_unreliable, but a wider span resolves where that one
+    # could not. Scan compile is k-independent (body compiles once); the
+    # k=64 dispatch is ~2.5 s of chip work, far under the ~130 s worker
+    # crash threshold (BENCH_NOTES round-4).
+    k_small, k_big = (
+        int(os.environ.get("BENCH_TRAIN_K_SMALL", "4")),
+        int(os.environ.get("BENCH_TRAIN_K_BIG", "64")),
+    )
     stacked_sh = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data")
     )
@@ -198,7 +217,9 @@ def measure_train(preset: str) -> dict:
         timed()  # compile + warm
         return timed
 
+    _note(f"train: compiling scan endpoints k={k_small},{k_big}")
     timed_small, timed_big = make_timed(k_small), make_timed(k_big)
+    _note("train: interleaved slope reps")
     sl = hardened_slope(timed_small, timed_big, k_small, k_big, slope_reps)
 
     fwd = conv_flops(
@@ -313,7 +334,9 @@ def main():
     mini_z, maxi_z = int(z * 0.2), int(z * 0.8)
 
     # warmup: compile + one full pass (also pre-stages params on device)
+    _note("infer: compiling serving program (warmup)")
     scorer.summarize(vol, mini_z, maxi_z)
+    _note("infer: timed end-to-end reps")
 
     # the tunneled device shows heavy run-to-run noise (9.6-16.7 s measured
     # for identical work); min over reps estimates the true serving cost
@@ -331,7 +354,9 @@ def main():
         k_big = int(os.environ.get("BENCH_COMPUTE_K", "5"))
         c_reps = int(os.environ.get("BENCH_COMPUTE_REPS", "8"))
         timed = scorer.compute_timer(vol, mini_z, maxi_z)
+        _note(f"infer: compiling slope endpoints k={k_small},{k_big}")
         timed(k_small), timed(k_big)  # compile + warm both endpoint programs
+        _note("infer: interleaved slope reps")
         sl = hardened_slope(
             lambda: timed(k_small), lambda: timed(k_big), k_small, k_big, c_reps
         )
@@ -389,6 +414,7 @@ def main():
 
     pipe_metrics = {}
     if os.environ.get("BENCH_PIPELINE", "1") == "1" and not scorer.shared_2d:
+        _note("pipelined multi-volume loop")
         pipe_metrics = measure_pipelined(
             params, bn_state, cfg, preset, vol, mini_z, maxi_z
         )
