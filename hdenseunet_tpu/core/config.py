@@ -157,6 +157,15 @@ class InferConfig:
     # {0,1,3} — lossless, 4x+ fewer bytes than uint8, packing fused into the
     # scoring program); 8 = plain uint8 mask. Byte-identical labelmaps.
     wire_bits: int = 2
+    # run the reference's connected-component postprocess (test.py:70-115) on
+    # device (infer/device_postprocess.py: min-index label propagation +
+    # border-connected hole fill) instead of host scipy. Byte-identical
+    # labelmaps (integer/boolean ops only — no float reassociation; parity
+    # tests in tests/test_device_postprocess.py); the host pipeline measured
+    # 38-64 s/volume on a 1-core host vs chip-side milliseconds (BENCH_NOTES
+    # "Round-5 serving-path attribution"). Applies to the device-resident
+    # serving path only.
+    device_postprocess: bool = True
 
 
 @dataclasses.dataclass

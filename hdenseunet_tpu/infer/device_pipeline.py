@@ -537,7 +537,9 @@ class DeviceVolumeScorer:
         2-bit packing — fused into the scoring program)."""
         return self.labelmask_collect(self.labelmask_async(vol, mini_z, maxi_z))
 
-    def labelmask_async(self, vol: np.ndarray, mini_z: int, maxi_z: int):
+    def labelmask_async(
+        self, vol: np.ndarray, mini_z: int, maxi_z: int, ext_mask=None
+    ):
         """Upload + enqueue one volume's scoring program; defer all d2h.
 
         Returns an opaque handle for :meth:`labelmask_collect`. JAX dispatch
@@ -547,10 +549,22 @@ class DeviceVolumeScorer:
         scored range and — at ``InferConfig.wire_bits=2`` (default) — 2-bit
         packed (labels are {0,1,3}: lossless), 4x less d2h than the plain
         uint8 wire; the full-extent restore happens on host in collect.
+
+        ``ext_mask``: the (once-dilated) external liver mask, full extent,
+        bool/uint8 — its nonzero z range must lie inside [mini_z, maxi_z]
+        (which :func:`postprocess.liver_mask_extent` guarantees). When given
+        and ``InferConfig.device_postprocess`` is on, the reference's whole
+        CC postprocess (test.py:70-115) runs as a second device dispatch
+        (infer/device_postprocess.py) and the wire carries the FINAL
+        {0,1,2} labelmap — collect then needs no host morphology at all.
         """
         x0, y0, z_full = vol.shape
         bits = int(getattr(self.cfg, "wire_bits", 2))
-        output = "packed2" if bits == 2 else "packed"
+        dpp = (
+            ext_mask is not None
+            and bool(getattr(self.cfg, "device_postprocess", False))
+        )
+        output = "packed" if dpp else ("packed2" if bits == 2 else "packed")
         kernel, arrays, kw, p = self._args(vol, mini_z, maxi_z, output)
         if self.shared_2d:
             # the shared-2D kernel always emits the probs buffer; threshold +
@@ -561,11 +575,26 @@ class DeviceVolumeScorer:
                 jnp.float32(self.cfg.thres_tumor),
                 num_classes=self.num_classes,
             )
-            out = _pack2bits(mask, pack_z=p["zw"]) if bits == 2 else mask
+            if not dpp:
+                out = _pack2bits(mask, pack_z=p["zw"]) if bits == 2 else mask
         else:
             out = kernel(*arrays, **kw)
+            mask = out  # 'packed' uint8 scores when dpp
+        if dpp:
+            from .device_postprocess import compose_packed
+
+            zw = p["zw"]
+            z_avail = min(zw, z_full - p["z_lo"])
+            ext_crop = np.zeros((x0, y0, zw), np.uint8)
+            ext_crop[:, :, :z_avail] = np.asarray(
+                ext_mask[:, :, p["z_lo"] : p["z_lo"] + z_avail], bool
+            )
+            ext_bits = np.packbits(ext_crop, axis=2)  # zw % 8 == 0 (_WIRE_BUCKET)
+            out = compose_packed(mask, jnp.asarray(ext_bits), pack_z=zw)
         return out, dict(
-            bits=bits, x0=x0, y0=y0, z=p["z"], z_lo=p["z_lo"], z_full=z_full
+            bits=2 if dpp else bits,
+            final=dpp,
+            x0=x0, y0=y0, z=p["z"], z_lo=p["z_lo"], z_full=z_full,
         )
 
     def labelmask_collect(self, handle) -> np.ndarray:

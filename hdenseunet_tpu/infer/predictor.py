@@ -64,6 +64,13 @@ class VolumePredictor:
         img = np.asarray(vol, np.float32) - icfg.mean  # test.py:55
         mask, z_lo, z_hi = postprocess.liver_mask_extent(ext_liver_mask)
         if icfg.device_resident:
+            if getattr(icfg, "device_postprocess", False):
+                # the CC postprocess rides the device (device_postprocess.py);
+                # the wire carries the FINAL {0,1,2} labelmap
+                handle = self.windows.labelmask_async(
+                    img, z_lo, z_hi, ext_mask=mask
+                )
+                return ("final", handle, None)
             handle = self.windows.labelmask_async(img, z_lo, z_hi)
             return ("packed", handle, mask)
         liver_prob, tumor_prob = self.windows.predict_volume(img, z_lo, z_hi)
@@ -73,6 +80,8 @@ class VolumePredictor:
         """Fetch a dispatched volume's result and postprocess to a labelmap."""
         kind, payload, mask = handle
         icfg = self.cfg.infer
+        if kind == "final":
+            return self.windows.labelmask_collect(payload)
         if kind == "packed":
             packed = self.windows.labelmask_collect(payload)
             return postprocess.compose_from_masks(packed >= 1, packed >= 3, mask)
