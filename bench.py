@@ -303,9 +303,16 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "5"))
     size = 512 if preset == "full" else 64
 
+    # every phase is fenced: a device fault in one phase (e.g. a TPU worker
+    # crash mid-dispatch) must degrade that phase to an *_error flag, not
+    # wipe the whole driver-visible JSON line (round-5 scoreboard rule)
     train_metrics = {}
     if os.environ.get("BENCH_TRAIN", "1") == "1":
-        train_metrics = measure_train(preset)
+        try:
+            train_metrics = measure_train(preset)
+        except Exception as e:
+            _note(f"train phase failed: {type(e).__name__}: {e}")
+            train_metrics = {"train_error": True}
 
     cfg_kw = dict(
         input_size=size,
@@ -350,6 +357,7 @@ def main():
 
     compute_metrics = {}
     if os.environ.get("BENCH_COMPUTE", "1") == "1":
+      try:
         k_small = 1
         k_big = int(os.environ.get("BENCH_COMPUTE_K", "5"))
         c_reps = int(os.environ.get("BENCH_COMPUTE_REPS", "8"))
@@ -370,6 +378,10 @@ def main():
             compute_metrics["compute_unreliable"] = True
         else:
             compute_metrics["compute_s_per_volume"] = round(sl["slope"], 3)
+
+      except Exception as e:
+        _note(f"compute-slope phase failed: {type(e).__name__}: {e}")
+        compute_metrics = {"compute_error": True}
 
     # Attribution of the end-to-end headline (value ~= compute + h2d +
     # dispatch, decomp_gap_s below): time the h2d of a buffer with the wire's
@@ -415,9 +427,13 @@ def main():
     pipe_metrics = {}
     if os.environ.get("BENCH_PIPELINE", "1") == "1" and not scorer.shared_2d:
         _note("pipelined multi-volume loop")
-        pipe_metrics = measure_pipelined(
-            params, bn_state, cfg, preset, vol, mini_z, maxi_z
-        )
+        try:
+            pipe_metrics = measure_pipelined(
+                params, bn_state, cfg, preset, vol, mini_z, maxi_z
+            )
+        except Exception as e:
+            _note(f"pipelined phase failed: {type(e).__name__}: {e}")
+            pipe_metrics = {"pipelined_error": True}
 
     # MFU: analytic conv FLOPs the compiled program executes (incl. weight-0
     # padding windows) / time / chip bf16 peak — the perf-regression metric

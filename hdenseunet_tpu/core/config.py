@@ -166,6 +166,12 @@ class InferConfig:
     # "Round-5 serving-path attribution"). Applies to the device-resident
     # serving path only.
     device_postprocess: bool = True
+    # with device_postprocess: keep the final labelmap on device, fetch its
+    # 6-int nonzero bbox, and wire only the bbox crop (2-bit packed, sizes
+    # bucketed to 64/64/16). Lossless — after largest-CC the nonzero extent
+    # is one liver-sized blob, so d2h shrinks by the bbox/volume ratio at the
+    # cost of one extra scalar round-trip + crop dispatch per volume.
+    sparse_wire: bool = True
 
 
 @dataclasses.dataclass

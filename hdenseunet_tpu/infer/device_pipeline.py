@@ -207,6 +207,18 @@ def _pack2bits(mask, *, pack_z: int | None = None):
     return m[..., 0] + 4 * m[..., 1] + 16 * m[..., 2] + 64 * m[..., 3]
 
 
+@functools.partial(jax.jit, static_argnames=("sx", "sy", "sz"))
+def _crop_pack(final, x0, y0, z0, *, sx: int, sy: int, sz: int):
+    """2-bit-pack a (sx, sy, sz) crop of the device-resident final labelmap.
+
+    Starts are traced (no recompile per bbox position); sizes are static and
+    bucketed by the caller so compiles stay rare. dynamic_slice clamps starts
+    that would overrun — the caller passes pre-clamped starts so the host
+    paste uses the same origin the device actually cropped."""
+    crop = lax.dynamic_slice(final, (x0, y0, z0), (sx, sy, sz))
+    return _pack2bits(crop)
+
+
 def _unpack2bits(buf: np.ndarray) -> np.ndarray:
     """Host-side inverse of _pack2bits: (x, y, zq) uint8 -> (x, y, 4*zq)."""
     x, y, q = buf.shape
@@ -580,8 +592,9 @@ class DeviceVolumeScorer:
         else:
             out = kernel(*arrays, **kw)
             mask = out  # 'packed' uint8 scores when dpp
+        sparse = dpp and bool(getattr(self.cfg, "sparse_wire", False))
         if dpp:
-            from .device_postprocess import compose_packed
+            from .device_postprocess import compose_final, compose_packed
 
             zw = p["zw"]
             z_avail = min(zw, z_full - p["z_lo"])
@@ -590,16 +603,26 @@ class DeviceVolumeScorer:
                 ext_mask[:, :, p["z_lo"] : p["z_lo"] + z_avail], bool
             )
             ext_bits = np.packbits(ext_crop, axis=2)  # zw % 8 == 0 (_WIRE_BUCKET)
-            out = compose_packed(mask, jnp.asarray(ext_bits), pack_z=zw)
+            if sparse:
+                # labelmap stays device-resident; collect fetches the 6-int
+                # bbox, then only the bbox crop crosses the wire
+                out = compose_final(mask, jnp.asarray(ext_bits), pack_z=zw)
+            else:
+                out = compose_packed(mask, jnp.asarray(ext_bits), pack_z=zw)
         return out, dict(
             bits=2 if dpp else bits,
             final=dpp,
+            sparse=sparse,
             x0=x0, y0=y0, z=p["z"], z_lo=p["z_lo"], z_full=z_full,
         )
+
+    _SPARSE_BUCKET = (64, 64, 16)  # bbox crop sizes round up to these
 
     def labelmask_collect(self, handle) -> np.ndarray:
         """Fetch a labelmask_async handle -> uint8 (X, Y, Z) labelmask."""
         dev, m = handle
+        if m.get("sparse"):
+            return self._collect_sparse(dev, m)
         buf = np.asarray(dev)
         if m["bits"] == 2:
             buf = _unpack2bits(buf)
@@ -607,6 +630,48 @@ class DeviceVolumeScorer:
         out[:, :, m["z_lo"] : m["z_lo"] + m["z"]] = buf[
             : m["x0"], : m["y0"], : m["z"]
         ]
+        return out
+
+    def _collect_sparse(self, dev, m) -> np.ndarray:
+        """Sparse-wire collect: fetch the 6-int bbox, then only the bbox crop.
+
+        After the largest-CC postprocess the labelmap's nonzero extent is one
+        liver-sized blob, so this replaces the (X*Y*zw/4)-byte wire with a
+        bbox-sized one — lossless (outside the bbox is zero by definition).
+        Costs one extra scalar-fetch round-trip + one crop dispatch; crop
+        sizes bucket to _SPARSE_BUCKET so compiles stay rare."""
+        final, bbox_dev = dev
+        out = np.zeros((m["x0"], m["y0"], m["z_full"]), np.uint8)
+        bb = np.asarray(bbox_dev)
+        if bb[0] > bb[1]:  # empty labelmap
+            return out
+        xp, yp, zw = final.shape
+        bx, by, bz = self._SPARSE_BUCKET
+
+        def plan_axis(lo, hi, dim, bucket):
+            size = min(dim, -(-(int(hi) - int(lo) + 1) // bucket) * bucket)
+            start = min(int(lo), dim - size)
+            return start, size
+        xs, sx = plan_axis(bb[0], bb[1], xp, bx)
+        ys, sy = plan_axis(bb[2], bb[3], yp, by)
+        zs, sz = plan_axis(bb[4], bb[5], zw, bz)
+        wire = np.asarray(
+            _crop_pack(
+                final, jnp.int32(xs), jnp.int32(ys), jnp.int32(zs),
+                sx=sx, sy=sy, sz=sz,
+            )
+        )
+        crop = _unpack2bits(wire)
+        # paste, clipped to the true volume extent (the crop can reach into
+        # xy compute padding — zero there — or past the scored z range)
+        gx = min(xs + sx, m["x0"])
+        gy = min(ys + sy, m["y0"])
+        gz_lo = m["z_lo"] + zs
+        gz = min(gz_lo + sz, m["z_lo"] + m["z"], m["z_full"])
+        if gx > xs and gy > ys and gz > gz_lo:
+            out[xs:gx, ys:gy, gz_lo:gz] = crop[
+                : gx - xs, : gy - ys, : gz - gz_lo
+            ]
         return out
 
     def summarize(self, vol: np.ndarray, mini_z: int, maxi_z: int):

@@ -204,14 +204,61 @@ def compose_packed(packed_scores, ext_bits, *, pack_z: int):
     same wire shape labelmask_collect already consumes.
     """
     m = packed_scores[:, :, :pack_z]
+    xp, yp = m.shape[0], m.shape[1]
+    x0, y0 = ext_bits.shape[0], ext_bits.shape[1]
+    if (x0, y0) != (xp, yp):
+        # the xy compute-padding region carries REAL thresholded model output
+        # (the model ran on the zero-padded volume), which the host path
+        # discards by cropping to (x0, y0) BEFORE compose; phantom labels
+        # must not join components or shift the largest-CC pick — zero them
+        m = jnp.pad(m[:x0, :y0], ((0, xp - x0), (0, yp - y0), (0, 0)))
     liver = (m & 1).astype(bool)
     tumor = m >= 3
     ext = _unpack_bits_z(ext_bits, pack_z)
-    xp, yp = m.shape[0], m.shape[1]
-    x0, y0 = ext.shape[0], ext.shape[1]
     if (x0, y0) != (xp, yp):
         ext = jnp.pad(ext, ((0, xp - x0), (0, yp - y0), (0, 0)))
     out = compose_labels(liver, tumor, ext)
     from .device_pipeline import _pack2bits
 
     return _pack2bits(out, pack_z=pack_z)
+
+
+def _axis_extent(nz, axis_pair):
+    v = jnp.any(nz, axis=axis_pair)
+    n = v.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(v, idx, n))
+    hi = jnp.max(jnp.where(v, idx, -1))
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("pack_z",))
+def compose_final(packed_scores, ext_bits, *, pack_z: int):
+    """Like :func:`compose_packed` but keeps the labelmap ON DEVICE and
+    returns (final uint8 (Xp, Yp, pack_z), bbox int32[6]) for the sparse
+    bbox-cropped wire (device_pipeline._crop_pack): after the largest-CC
+    postprocess the nonzero extent is one liver-sized blob, so fetching only
+    its bounding box cuts the dominant d2h by the bbox/volume ratio —
+    losslessly, since everything outside the bbox is zero by definition.
+    bbox = (x_lo, x_hi, y_lo, y_hi, z_lo, z_hi) inclusive; empty maps emit
+    lo > hi (the host side detects this and writes an all-zero volume).
+    """
+    m = packed_scores[:, :, :pack_z]
+    xp, yp = m.shape[0], m.shape[1]
+    x0, y0 = ext_bits.shape[0], ext_bits.shape[1]
+    if (x0, y0) != (xp, yp):
+        # see compose_packed: the xy compute padding carries real model
+        # output the host path crops away — mask it before composing
+        m = jnp.pad(m[:x0, :y0], ((0, xp - x0), (0, yp - y0), (0, 0)))
+    liver = (m & 1).astype(bool)
+    tumor = m >= 3
+    ext = _unpack_bits_z(ext_bits, pack_z)
+    if (x0, y0) != (xp, yp):
+        ext = jnp.pad(ext, ((0, xp - x0), (0, yp - y0), (0, 0)))
+    out = compose_labels(liver, tumor, ext)
+    nz = out != 0
+    xlo, xhi = _axis_extent(nz, (1, 2))
+    ylo, yhi = _axis_extent(nz, (0, 2))
+    zlo, zhi = _axis_extent(nz, (0, 1))
+    bbox = jnp.stack([xlo, xhi, ylo, yhi, zlo, zhi]).astype(jnp.int32)
+    return out, bbox

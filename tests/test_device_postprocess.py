@@ -203,6 +203,37 @@ def test_compose_packed_wire_roundtrip():
     np.testing.assert_array_equal(got, want)
 
 
+def test_compose_packed_ignores_xy_compute_padding():
+    """The scoring kernel's xy padding region carries real thresholded model
+    output (the model ran on the zero-padded volume); the host path crops it
+    away before compose, so compose_packed must zero it — otherwise phantom
+    labels join 26-conn components and can flip the largest-CC pick."""
+    import jax.numpy as jnp
+
+    from hdenseunet_tpu.infer.device_pipeline import _unpack2bits
+
+    x0, y0, z = 12, 10, 16
+    xp, yp = 16, 16  # compute shape (rounded up)
+    rng = np.random.default_rng(3)
+    liver = rng.random((x0, y0, z)) < 0.25
+    tumor = rng.random((x0, y0, z)) < 0.05
+    packed = np.zeros((xp, yp, z), np.uint8)
+    packed[:x0, :y0] = (liver | tumor).astype(np.uint8) + 2 * tumor.astype(np.uint8)
+    # junk "model output" in the padding region, adjacent to real voxels —
+    # a giant phantom component that would win largest-CC if not masked
+    packed[x0:, :, :] = 1
+    packed[:, y0:, :] = 1
+    ext = np.zeros((x0, y0, z), bool)
+    ext[2:10, 2:8, 2:14] = True
+    ext_bits = np.packbits(ext.astype(np.uint8), axis=2)
+    wire = np.asarray(
+        dpp.compose_packed(jnp.asarray(packed), jnp.asarray(ext_bits), pack_z=z)
+    )
+    got = _unpack2bits(wire)[:x0, :y0]
+    want = postprocess.compose_from_masks(liver, tumor, ext)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_predictor_device_postprocess_matches_host(tmp_path):
     """End-to-end: VolumePredictor with device_postprocess on vs off produces
     byte-identical labelmaps on the tiny hybrid."""
@@ -225,6 +256,54 @@ def test_predictor_device_postprocess_matches_host(tmp_path):
     cfg.infer.device_postprocess = False
     host_out = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
     cfg.infer.device_postprocess = True
+    cfg.infer.sparse_wire = False
     dev_out = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
     np.testing.assert_array_equal(dev_out, host_out)
     assert dev_out.dtype == np.uint8
+    # sparse bbox wire: same labelmap, byte for byte
+    cfg.infer.sparse_wire = True
+    sparse_out = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
+    np.testing.assert_array_equal(sparse_out, host_out)
+
+
+def test_sparse_wire_collect_geometry():
+    """_collect_sparse handles empty maps, edge-hugging bboxes, and bucket
+    overhang past the true xy extent (paste clipped to x0/y0)."""
+    from hdenseunet_tpu.core.config import InferConfig
+    from hdenseunet_tpu.infer.device_pipeline import DeviceVolumeScorer
+
+    scorer = DeviceVolumeScorer.__new__(DeviceVolumeScorer)  # geometry only
+
+    import jax.numpy as jnp
+
+    def run(final_np, x0, y0, z, z_lo, z_full):
+        nz = np.argwhere(final_np)
+        if nz.size:
+            lo, hi = nz.min(axis=0), nz.max(axis=0)
+            bb = np.array([lo[0], hi[0], lo[1], hi[1], lo[2], hi[2]], np.int32)
+        else:
+            n = final_np.size
+            bb = np.array([n, -1, n, -1, n, -1], np.int32)
+        meta = dict(x0=x0, y0=y0, z=z, z_lo=z_lo, z_full=z_full)
+        return scorer._collect_sparse((jnp.asarray(final_np), jnp.asarray(bb)), meta)
+
+    # empty
+    final = np.zeros((32, 32, 16), np.uint8)
+    out = run(final, 30, 28, 16, 4, 40)
+    assert out.shape == (30, 28, 40) and not out.any()
+
+    # blob hugging the far corner, with xy compute padding (x0<xp)
+    final = np.zeros((32, 32, 16), np.uint8)
+    final[27:30, 25:28, 13:16] = 2
+    out = run(final, 30, 28, 16, 4, 40)
+    want = np.zeros((30, 28, 40), np.uint8)
+    want[27:30, 25:28, 17:20] = 2
+    np.testing.assert_array_equal(out, want)
+
+    # blob at origin
+    final = np.zeros((32, 32, 16), np.uint8)
+    final[0:2, 0:3, 0:2] = 1
+    out = run(final, 30, 28, 16, 0, 16)
+    want = np.zeros((30, 28, 16), np.uint8)
+    want[0:2, 0:3, 0:2] = 1
+    np.testing.assert_array_equal(out, want)
