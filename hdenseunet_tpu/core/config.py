@@ -164,14 +164,28 @@ class InferConfig:
     # tests in tests/test_device_postprocess.py); the host pipeline measured
     # 38-64 s/volume on a 1-core host vs chip-side milliseconds (BENCH_NOTES
     # "Round-5 serving-path attribution"). Applies to the device-resident
-    # serving path only.
-    device_postprocess: bool = True
+    # serving path only. Default OFF on this dev host: the single-dispatch
+    # compose crashed the tunneled TPU worker TWICE at full 512^2 size
+    # (BENCH_NOTES "Round-5 device-postprocess verdict" — the stdio-relay
+    # backend kills dispatches past ~90-130 s and the CC propagation loops
+    # can exceed that); the chunked propagation path bounds every dispatch
+    # but stays opt-in until it has a clean full-size record.
+    device_postprocess: bool = False
     # with device_postprocess: keep the final labelmap on device, fetch its
     # 6-int nonzero bbox, and wire only the bbox crop (2-bit packed, sizes
     # bucketed to 64/64/16). Lossless — after largest-CC the nonzero extent
     # is one liver-sized blob, so d2h shrinks by the bbox/volume ratio at the
     # cost of one extra scalar round-trip + crop dispatch per volume.
     sparse_wire: bool = True
+    # with device_postprocess: >0 bounds every CC-propagation dispatch to
+    # this many rounds (device_postprocess.propagate_min_chunked — bursts of
+    # chunked dispatches chained asynchronously, one scalar convergence fetch
+    # per propagation stage). Byte-identical fixpoints; the crash-proof form
+    # for backends that kill long dispatches (this host's relay kills past
+    # ~90-130 s, and the single-dispatch compose crashed its worker twice at
+    # 512^2 full size — BENCH_NOTES "Round-5 device-postprocess verdict").
+    # 0 = single-dispatch compose (direct-attached hosts).
+    postprocess_chunk_iters: int = 2
 
 
 @dataclasses.dataclass

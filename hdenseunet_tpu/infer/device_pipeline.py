@@ -593,6 +593,7 @@ class DeviceVolumeScorer:
             out = kernel(*arrays, **kw)
             mask = out  # 'packed' uint8 scores when dpp
         sparse = dpp and bool(getattr(self.cfg, "sparse_wire", False))
+        chunked = 0
         if dpp:
             from .device_postprocess import compose_final, compose_packed
 
@@ -603,7 +604,14 @@ class DeviceVolumeScorer:
                 ext_mask[:, :, p["z_lo"] : p["z_lo"] + z_avail], bool
             )
             ext_bits = np.packbits(ext_crop, axis=2)  # zw % 8 == 0 (_WIRE_BUCKET)
-            if sparse:
+            chunked = int(getattr(self.cfg, "postprocess_chunk_iters", 0))
+            if chunked > 0:
+                # crash-proof form: the compose's CC propagation loops run as
+                # bounded chunked dispatches driven from labelmask_collect
+                # (host convergence checks would block dispatch() otherwise);
+                # the scoring output stays device-resident in the handle
+                out = (mask, jnp.asarray(ext_bits))
+            elif sparse:
                 # labelmap stays device-resident; collect fetches the 6-int
                 # bbox, then only the bbox crop crosses the wire
                 out = compose_final(mask, jnp.asarray(ext_bits), pack_z=zw)
@@ -613,6 +621,8 @@ class DeviceVolumeScorer:
             bits=2 if dpp else bits,
             final=dpp,
             sparse=sparse,
+            chunked=chunked,
+            zw=p["zw"],
             x0=x0, y0=y0, z=p["z"], z_lo=p["z_lo"], z_full=z_full,
         )
 
@@ -621,6 +631,17 @@ class DeviceVolumeScorer:
     def labelmask_collect(self, handle) -> np.ndarray:
         """Fetch a labelmask_async handle -> uint8 (X, Y, Z) labelmask."""
         dev, m = handle
+        if m.get("chunked"):
+            from .device_postprocess import (
+                compose_final_chunked, compose_packed_chunked,
+            )
+
+            mask_dev, ext_dev = dev
+            kw = dict(pack_z=m["zw"], chunk_iters=m["chunked"])
+            if m.get("sparse"):
+                dev = compose_final_chunked(mask_dev, ext_dev, **kw)
+            else:
+                dev = compose_packed_chunked(mask_dev, ext_dev, **kw)
         if m.get("sparse"):
             return self._collect_sparse(dev, m)
         buf = np.asarray(dev)

@@ -110,6 +110,45 @@ def test_dilate_cross_matches_scipy(p):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("p", [0.08, 0.35, 0.85])
+def test_chunked_primitives_match_single_dispatch(p):
+    """The bounded-dispatch (chunked) propagation reaches the identical
+    fixpoint — tiny chunk/burst sizes force several host convergence checks
+    (the crash-proof serving form, BENCH_NOTES 'Round-5 device-postprocess
+    verdict')."""
+    m = _rand_mask(hash(("chunk", p)) % 2**31, (20, 18, 14), p)
+    np.testing.assert_array_equal(
+        np.asarray(dpp.largest_component_chunked(m, chunk_iters=1, burst=2)),
+        np.asarray(dpp.largest_component(m)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dpp.fill_holes_chunked(m, chunk_iters=1, burst=2)),
+        ndimage.binary_fill_holes(m),
+    )
+
+
+def test_compose_final_chunked_matches_single_dispatch():
+    import jax.numpy as jnp
+
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(19)
+    liver = rng.random(shape) < 0.3
+    tumor = rng.random(shape) < 0.1
+    packed = ((liver | tumor).astype(np.uint8) + 2 * tumor.astype(np.uint8))
+    ext = np.zeros(shape, bool)
+    ext[2:14, 2:14, 2:13] = True
+    ext_bits = np.packbits(ext.astype(np.uint8), axis=2)
+    want_out, want_bb = dpp.compose_final(
+        jnp.asarray(packed), jnp.asarray(ext_bits), pack_z=16
+    )
+    got_out, got_bb = dpp.compose_final_chunked(
+        jnp.asarray(packed), jnp.asarray(ext_bits), pack_z=16,
+        chunk_iters=1, burst=2,
+    )
+    np.testing.assert_array_equal(np.asarray(got_out), np.asarray(want_out))
+    np.testing.assert_array_equal(np.asarray(got_bb), np.asarray(want_bb))
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_compose_matches_host_random(seed):
     rng = np.random.default_rng(seed)
@@ -257,6 +296,7 @@ def test_predictor_device_postprocess_matches_host(tmp_path):
     host_out = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
     cfg.infer.device_postprocess = True
     cfg.infer.sparse_wire = False
+    cfg.infer.postprocess_chunk_iters = 0  # single-dispatch compose
     dev_out = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
     np.testing.assert_array_equal(dev_out, host_out)
     assert dev_out.dtype == np.uint8
@@ -264,6 +304,13 @@ def test_predictor_device_postprocess_matches_host(tmp_path):
     cfg.infer.sparse_wire = True
     sparse_out = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
     np.testing.assert_array_equal(sparse_out, host_out)
+    # chunked (bounded-dispatch) compose, dense + sparse wires
+    cfg.infer.postprocess_chunk_iters = 2
+    chunk_sparse = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
+    np.testing.assert_array_equal(chunk_sparse, host_out)
+    cfg.infer.sparse_wire = False
+    chunk_dense = VolumePredictor(params, bn_state, cfg, arch="end2end").segment(vol, ext)
+    np.testing.assert_array_equal(chunk_dense, host_out)
 
 
 def test_sparse_wire_collect_geometry():
