@@ -16,8 +16,27 @@ Pipeline, matching the reference order exactly:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy import ndimage
+
+from hdenseunet_tpu import native
+
+
+def _use_native(mask: np.ndarray) -> bool:
+    """3D masks route to the C++ core (native/postprocess.cpp) when the
+    toolchain is present: scipy's ``binary_fill_holes`` flood-fills by
+    iterated dilation (O(N x diameter)) and measured 38-64 s per 512x512x192
+    volume on the 1-core host — the pipelined serving floor (BENCH_NOTES.md
+    "Round-5 serving-path attribution"); the native passes are O(N) and
+    byte-exact (tests/test_native_postprocess.py). Set
+    ``HDENSEUNET_HOST_POSTPROCESS=scipy`` to force the scipy path."""
+    return (
+        mask.ndim == 3
+        and os.environ.get("HDENSEUNET_HOST_POSTPROCESS", "") != "scipy"
+        and native.pp_available()
+    )
 
 
 def largest_component(mask: np.ndarray) -> np.ndarray:
@@ -29,6 +48,8 @@ def largest_component(mask: np.ndarray) -> np.ndarray:
     is orthogonal-only, so the structuring element is passed explicitly to
     match — diagonally-touching components the reference merges must merge
     here too, or the 'largest' pick can differ."""
+    if _use_native(mask):
+        return native.pp_largest_component(mask)
     structure = ndimage.generate_binary_structure(mask.ndim, mask.ndim)
     labels, num = ndimage.label(mask, structure=structure)
     if num == 0:
@@ -39,7 +60,16 @@ def largest_component(mask: np.ndarray) -> np.ndarray:
 
 
 def fill_holes(mask: np.ndarray) -> np.ndarray:
+    if _use_native(mask):
+        return native.pp_fill_holes(mask)
     return ndimage.binary_fill_holes(mask)
+
+
+def dilate(mask: np.ndarray) -> np.ndarray:
+    """One 6-conn (default-structure) binary dilation."""
+    if _use_native(mask):
+        return native.pp_dilate(mask)
+    return ndimage.binary_dilation(mask.astype(bool), iterations=1)
 
 
 def compose_labelmap(
@@ -65,7 +95,7 @@ def compose_from_masks(
     liver = liver | tumor
     liver_cc = largest_component(liver)
 
-    ext = ndimage.binary_dilation(ext_liver_mask.astype(bool), iterations=1)
+    ext = dilate(ext_liver_mask.astype(bool))
     ext_cc = fill_holes(largest_component(ext))
 
     tumor_final = fill_holes(tumor & ext_cc)
@@ -80,7 +110,7 @@ def liver_mask_extent(mask: np.ndarray):
     binarize label-2 into the mask, dilate once, take index extent)."""
     m = mask.copy()
     m[m == 2] = 1
-    m = ndimage.binary_dilation(m.astype(bool), iterations=1)
+    m = dilate(m.astype(bool))
     idx = np.argwhere(m)
     if idx.size == 0:
         return m, 0, mask.shape[2] - 1

@@ -17,15 +17,18 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).parent / "sampler.cpp"
+_PP_SRC = Path(__file__).parent / "postprocess.cpp"
 _LIB = None
 _TRIED = False
+_PP_LIB = None
+_PP_TRIED = False
 
 
-def _build() -> Path | None:
-    """Compile sampler.cpp -> cached .so keyed by source hash."""
-    if not _SRC.exists():
+def _build(src: Path, stem: str) -> Path | None:
+    """Compile one .cpp -> cached .so keyed by source hash."""
+    if not src.exists():
         return None
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
     cache = Path(
         os.environ.get("HDENSEUNET_NATIVE_CACHE", Path(tempfile.gettempdir()) / "hdenseunet_native")
     )
@@ -33,12 +36,12 @@ def _build() -> Path | None:
         cache.mkdir(parents=True, exist_ok=True)
     except OSError:
         return None  # unusable cache location -> numpy/cv2 fallback
-    so = cache / f"sampler_{tag}.so"
+    so = cache / f"{stem}_{tag}.so"
     if so.exists():
         return so
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", str(so), str(_SRC),
+        "-o", str(so), str(src),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -52,7 +55,7 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    so = _build()
+    so = _build(_SRC, "sampler")
     if so is None:
         return None
     lib = ctypes.CDLL(str(so))
@@ -91,6 +94,53 @@ def crop_aug_resize(vol, seg, origin, size, *, mean, flip_case, out_size):
         float(mean), int(flip_case), int(out_size), out_img, out_seg,
     )
     return out_img, out_seg
+
+
+def _pp_load():
+    global _PP_LIB, _PP_TRIED
+    if _PP_TRIED:
+        return _PP_LIB
+    _PP_TRIED = True
+    so = _build(_PP_SRC, "postprocess")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    L = ctypes.c_long
+    PU8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    for fn in ("pp_largest_component", "pp_fill_holes", "pp_dilate"):
+        getattr(lib, fn).argtypes = [PU8, L, L, L, PU8]
+        getattr(lib, fn).restype = None
+    _PP_LIB = lib
+    return _PP_LIB
+
+
+def pp_available() -> bool:
+    return _pp_load() is not None
+
+
+def _pp_call(fn_name: str, mask) -> "np.ndarray":
+    lib = _pp_load()
+    assert lib is not None, "native postprocess unavailable"
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    assert m.ndim == 3, m.shape
+    out = np.empty_like(m)
+    getattr(lib, fn_name)(m, *m.shape, out)
+    return out
+
+
+def pp_largest_component(mask):
+    """Largest 26-connected component (bool). Exact scipy label+argmax twin."""
+    return _pp_call("pp_largest_component", mask).astype(bool)
+
+
+def pp_fill_holes(mask):
+    """binary_fill_holes twin: 6-conn border flood on the complement."""
+    return _pp_call("pp_fill_holes", mask).astype(bool)
+
+
+def pp_dilate(mask):
+    """binary_dilation(iterations=1) twin: one 6-conn cross dilation."""
+    return _pp_call("pp_dilate", mask).astype(bool)
 
 
 def crop_aug(vol, seg, origin, size, *, mean, flip_case):
