@@ -1,9 +1,14 @@
-"""Native (C++) data-loader core with on-demand compilation + ctypes binding.
+"""Native (C++) host-runtime cores with on-demand compilation + ctypes binding.
 
 The framework's compute path is JAX/XLA/Pallas; this is the *host runtime*
-side — the training sampler's crop/augment/resize hot loop as a single C call
-(see sampler.cpp header for rationale). Falls back silently to the numpy/cv2
-path when no C++ toolchain is present (`available()` -> False).
+side — two hot loops the reference leaves to python libraries:
+
+* sampler.cpp — the training sampler's crop/augment/resize loop as one C call;
+* postprocess.cpp — the serving CC/morphology pipeline (test.py:70-115) as
+  O(N) passes, byte-exact vs the scipy twins (see its header).
+
+Each falls back silently to the numpy/cv2/scipy path when no C++ toolchain is
+present (`available()` / `pp_available()` -> False).
 """
 from __future__ import annotations
 
